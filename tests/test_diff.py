@@ -1,0 +1,98 @@
+"""Differentiability tests: autodiff vs finite differences through the
+renderer (SURVEY.md section 4 test plan)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from advanced_cpu_raytracing_tpu.diff.params import extract_params, inject_params
+from advanced_cpu_raytracing_tpu.render.camera import build_camera
+from advanced_cpu_raytracing_tpu.render.integrator import (
+    RenderOptions,
+    trace_radiance,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    from advanced_cpu_raytracing_tpu.scene.pack import pack_scene
+    from advanced_cpu_raytracing_tpu.scene.xml_parser import load_scene
+    from tests.conftest import HW1_INPUTS
+
+    cfg = load_scene(str(HW1_INPUTS / "simple.xml"))
+    pack = pack_scene(cfg)
+    cam = build_camera(cfg.cameras[0])
+    opts = RenderOptions(max_depth=cfg.max_recursion_depth,
+                         differentiable=True, max_iters=4)
+    # pixels squarely on the lit quad (no silhouettes -> smooth wrt params)
+    px = jnp.asarray(np.linspace(350, 450, 16, dtype=np.float32))
+    py = jnp.asarray(np.full(16, 420, np.float32))
+    key = jax.random.PRNGKey(0)
+
+    def loss(params):
+        p = inject_params(pack, params)
+        img = trace_radiance(p, cam, px, py, key, opts)
+        return jnp.sum(img) / 1000.0
+
+    return pack, loss
+
+
+def test_grad_matches_finite_difference_diffuse(setup):
+    pack, loss = setup
+    params = extract_params(pack, ("mat_diffuse",))
+    g = jax.grad(loss)(params)["mat_diffuse"]
+    eps = 1e-3
+    fd = np.zeros_like(np.asarray(g))
+    base = np.asarray(params["mat_diffuse"])
+    for c in range(3):
+        p_hi = {"mat_diffuse": jnp.asarray(base).at[0, c].add(eps)}
+        p_lo = {"mat_diffuse": jnp.asarray(base).at[0, c].add(-eps)}
+        fd[0, c] = (float(loss(p_hi)) - float(loss(p_lo))) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(g)[0], fd[0], rtol=2e-2)
+
+
+def test_grad_light_intensity(setup):
+    pack, loss = setup
+    params = extract_params(pack, ("pl_intensity",))
+    g = np.asarray(jax.grad(loss)(params)["pl_intensity"])
+    assert np.all(np.isfinite(g))
+    assert (g > 0).all()  # brighter light -> brighter pixels
+    eps = 1.0
+    base = np.asarray(params["pl_intensity"])
+    p_hi = {"pl_intensity": jnp.asarray(base).at[0, 0].add(eps)}
+    p_lo = {"pl_intensity": jnp.asarray(base).at[0, 0].add(-eps)}
+    fd = (float(loss(p_hi)) - float(loss(p_lo))) / (2 * eps)
+    np.testing.assert_allclose(g[0, 0], fd, rtol=2e-2)
+
+
+def test_optimize_recovers_diffuse():
+    """Inverse rendering: perturb the diffuse color, optimize it back."""
+    import dataclasses
+
+    from advanced_cpu_raytracing_tpu.diff.optimize import optimize
+    from advanced_cpu_raytracing_tpu.scene.pack import pack_scene
+    from advanced_cpu_raytracing_tpu.scene.xml_parser import load_scene
+    from tests.conftest import HW1_INPUTS
+
+    cfg = load_scene(str(HW1_INPUTS / "simple.xml"))
+    pack = pack_scene(cfg)
+    cam_cfg = cfg.cameras[0]
+    cam = build_camera(cam_cfg)
+    opts = RenderOptions(max_depth=cfg.max_recursion_depth,
+                         differentiable=True, max_iters=4)
+    px = jnp.asarray(np.linspace(330, 470, 24, dtype=np.float32))
+    py = jnp.asarray(np.full(24, 420, np.float32))
+    key = jax.random.PRNGKey(0)
+    target = trace_radiance(pack, cam, px, py, key, opts)
+
+    wrong = dataclasses.replace(
+        pack, mat_diffuse=pack.mat_diffuse * 0.3
+    )
+    out, hist = optimize(wrong, cam, px, py, opts, target,
+                         ("mat_diffuse",), steps=60, lr=0.05)
+    assert hist[-1] < hist[0] * 0.05
+    np.testing.assert_allclose(
+        np.asarray(out.mat_diffuse)[0], np.asarray(pack.mat_diffuse)[0],
+        atol=0.08,
+    )
