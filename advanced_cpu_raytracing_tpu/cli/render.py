@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 import time
 
 import numpy as np
@@ -34,6 +35,9 @@ def main(argv=None) -> int:
     from advanced_cpu_raytracing_tpu.scene.pack import pack_scene
     from advanced_cpu_raytracing_tpu.scene.xml_parser import load_scene
 
+    if not os.path.exists(args.scene):
+        print(f"error: scene file not found: {args.scene}", file=sys.stderr)
+        return 1
     cfg = load_scene(args.scene)
     start = time.perf_counter()
     pack = pack_scene(cfg)

@@ -5,17 +5,18 @@ The wavefront inner loop for small scenes: every ray is tested against every
 src/mesh.cpp:201-236) and the minimum-t winner is reduced per ray.
 
 Kernel design (see /opt/skills/guides/pallas_guide.md):
-  * grid over ray tiles of 128 lanes; triangle SoA arrays are broadcast to
-    every program (VMEM-resident — brute mode caps W at ~2k items = ~100 KB).
-  * inner fori_loop walks triangle chunks of 8 (sublane dim); each step
-    evaluates an (8, 128) tri x ray block of determinants on the VPU and
-    folds it into the running per-ray minimum.
+  * rays are laid out (rows, 128) and each grid step owns an (8, 128) block
+    — 1024 rays — satisfying the TPU (8, 128) f32 tile constraint;
+  * triangle SoA arrays are VMEM-resident and broadcast to every program
+    (brute mode caps W at ~2k items = ~100 KB);
+  * an inner fori_loop walks triangle chunks of 8; each step evaluates an
+    (8 tris, 8 rows, 128 lanes) block of determinants on the VPU and folds it
+    into the running per-ray minimum;
   * all math in f32 on the VPU — no MXU involvement, so no bf16 truncation
     of ray geometry.
 
-The public wrapper pads shapes, falls back to pure-jnp outside TPU, and is
-differentiated via the jnp path (the kernel is wrapped in custom_vjp whose
-backward recomputes with jnp).
+The jnp path in ops/traverse.py remains the autodiff and motion-blur route
+(the kernel has no VJP and no per-item ray offsets).
 """
 
 from __future__ import annotations
@@ -27,7 +28,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-RAY_TILE = 128
+RAY_ROWS = 8  # sublane dim of a ray block
+RAY_LANES = 128  # lane dim
+RAY_TILE = RAY_ROWS * RAY_LANES
 TRI_CHUNK = 8
 
 _INF = 3.0e38  # plain float: jnp scalars would be captured consts in pallas
@@ -36,85 +39,72 @@ _INF = 3.0e38  # plain float: jnp scalars would be captured consts in pallas
 def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             v0_ref, v1_ref, v2_ref,
             t_ref, idx_ref, beta_ref, gamma_ref, *, n_tri: int):
-    ox = ox_ref[0, :]
-    oy = oy_ref[0, :]
-    oz = oz_ref[0, :]
-    dx = dx_ref[0, :]
-    dy = dy_ref[0, :]
-    dz = dz_ref[0, :]
+    ox = ox_ref[:, :]  # (8,128)
+    oy = oy_ref[:, :]
+    oz = oz_ref[:, :]
+    dx = dx_ref[:, :]
+    dy = dy_ref[:, :]
+    dz = dz_ref[:, :]
 
-    n_chunks = pl.cdiv(n_tri, TRI_CHUNK)
-
-    def chunk(ci, carry):
+    def one_tri(ti, carry):
+        """Fold triangle ti into the per-ray best (all ops (8,128) 2D —
+        Mosaic supports neither 3D gathers nor argmin-pick, so the reduction
+        over triangles is sequential with masked min-updates)."""
         t_best, i_best, b_best, g_best = carry
-        base = ci * TRI_CHUNK
-        v0 = v0_ref[pl.ds(base, TRI_CHUNK), :]  # (8, 3+pad)
-        v1 = v1_ref[pl.ds(base, TRI_CHUNK), :]
-        v2 = v2_ref[pl.ds(base, TRI_CHUNK), :]
+        v0 = v0_ref[pl.ds(ti, 1), :]  # (1, 3pad)
+        v1 = v1_ref[pl.ds(ti, 1), :]
+        v2 = v2_ref[pl.ds(ti, 1), :]
 
-        # columns of the Cramer matrix, broadcast (8 tris, 128 rays)
-        def col(a, b):
-            return a[:, None] - b[None, :]
+        e1x = v0[0, 0] - v1[0, 0]
+        e1y = v0[0, 1] - v1[0, 1]
+        e1z = v0[0, 2] - v1[0, 2]
+        e2x = v0[0, 0] - v2[0, 0]
+        e2y = v0[0, 1] - v2[0, 1]
+        e2z = v0[0, 2] - v2[0, 2]
+        bx = v0[0, 0] - ox
+        by = v0[0, 1] - oy
+        bz = v0[0, 2] - oz
 
-        e1x = (v0[:, 0] - v1[:, 0])[:, None]
-        e1y = (v0[:, 1] - v1[:, 1])[:, None]
-        e1z = (v0[:, 2] - v1[:, 2])[:, None]
-        e2x = (v0[:, 0] - v2[:, 0])[:, None]
-        e2y = (v0[:, 1] - v2[:, 1])[:, None]
-        e2z = (v0[:, 2] - v2[:, 2])[:, None]
-        bx = col(v0[:, 0], ox)
-        by = col(v0[:, 1], oy)
-        bz = col(v0[:, 2], oz)
-        rdx = dx[None, :]
-        rdy = dy[None, :]
-        rdz = dz[None, :]
-
-        def det3(c0x, c0y, c0z, c1x, c1y, c1z, c2x, c2y, c2z):
-            return (
-                c0x * (c1y * c2z - c2y * c1z)
-                - c1x * (c0y * c2z - c2y * c0z)
-                + c2x * (c0y * c1z - c1y * c0z)
-            )
-
-        det_a = det3(e1x, e1y, e1z, e2x, e2y, e2z, rdx, rdy, rdz)
+        # det[e1|e2|d] with scalar e-columns and (8,128) ray columns
+        m0 = e2y * dz - dy * e2z
+        m1 = e2x * dz - dx * e2z
+        m2 = e2x * dy - dx * e2y
+        det_a = e1x * m0 - e1y * m1 + e1z * m2
         safe = jnp.where(det_a == 0.0, 1.0, det_a)
-        beta = det3(bx, by, bz, e2x, e2y, e2z, rdx, rdy, rdz) / safe
-        gamma = det3(e1x, e1y, e1z, bx, by, bz, rdx, rdy, rdz) / safe
-        t = det3(e1x, e1y, e1z, e2x, e2y, e2z, bx, by, bz) / safe
 
-        tri_ids = base + jax.lax.broadcasted_iota(jnp.int32, (TRI_CHUNK, RAY_TILE), 0)
+        beta = (bx * m0 - by * m1 + bz * m2) / safe
+        n0 = by * dz - dy * bz
+        n1 = bx * dz - dx * bz
+        n2 = bx * dy - dx * by
+        gamma = (e1x * n0 - e1y * n1 + e1z * n2) / safe
+        q0 = e2y * bz - by * e2z
+        q1 = e2x * bz - bx * e2z
+        q2 = e2x * by - bx * e2y
+        t = (e1x * q0 - e1y * q1 + e1z * q2) / safe
+
         valid = (
             (det_a != 0.0) & (beta >= 0.0) & (gamma >= 0.0)
-            & (beta + gamma <= 1.0) & (t > 0.0) & (tri_ids < n_tri)
+            & (beta + gamma <= 1.0) & (t > 0.0)
         )
-        t = jnp.where(valid, t, _INF)
-
-        # reduce over the 8-tri axis
-        t_min = jnp.min(t, axis=0)
-        win_row = jnp.argmin(t, axis=0)
-        take = t_min < t_best
-
-        def pick(arr):
-            return jnp.take_along_axis(arr, win_row[None, :], axis=0)[0, :]
-
+        better = valid & (t < t_best)
         return (
-            jnp.where(take, t_min, t_best),
-            jnp.where(take, pick(tri_ids), i_best),
-            jnp.where(take, pick(beta), b_best),
-            jnp.where(take, pick(gamma), g_best),
+            jnp.where(better, t, t_best),
+            jnp.where(better, ti, i_best),
+            jnp.where(better, beta, b_best),
+            jnp.where(better, gamma, g_best),
         )
 
     init = (
-        jnp.full((RAY_TILE,), _INF),
-        jnp.full((RAY_TILE,), -1, jnp.int32),
-        jnp.zeros((RAY_TILE,), jnp.float32),
-        jnp.zeros((RAY_TILE,), jnp.float32),
+        jnp.full((RAY_ROWS, RAY_LANES), _INF),
+        jnp.full((RAY_ROWS, RAY_LANES), -1, jnp.int32),
+        jnp.zeros((RAY_ROWS, RAY_LANES), jnp.float32),
+        jnp.zeros((RAY_ROWS, RAY_LANES), jnp.float32),
     )
-    t_best, i_best, b_best, g_best = jax.lax.fori_loop(0, n_chunks, chunk, init)
-    t_ref[0, :] = t_best
-    idx_ref[0, :] = i_best
-    beta_ref[0, :] = b_best
-    gamma_ref[0, :] = g_best
+    t_best, i_best, b_best, g_best = jax.lax.fori_loop(0, n_tri, one_tri, init)
+    t_ref[:, :] = t_best
+    idx_ref[:, :] = i_best
+    beta_ref[:, :] = b_best
+    gamma_ref[:, :] = g_best
 
 
 def _pad_to(x, n, axis=0, value=0):
@@ -126,11 +116,14 @@ def _pad_to(x, n, axis=0, value=0):
     return jnp.pad(x, widths, constant_values=value)
 
 
-def tri_closest_hit_pallas(o, d, v0, v1, v2, interpret: bool = False):
+def tri_closest_hit_pallas(o, d, v0, v1, v2, interpret: bool | None = None):
     """Dense closest hit: rays (R,3) x tris (W,3 each).
 
     Returns (t, idx, beta, gamma) with t = +inf, idx = -1 on miss.
+    ``interpret=None`` auto-selects interpreter mode off-TPU (for tests).
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     r = o.shape[0]
     w = v0.shape[0]
     r_pad = ((r + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
@@ -142,25 +135,27 @@ def tri_closest_hit_pallas(o, d, v0, v1, v2, interpret: bool = False):
     v1_p = _pad_to(v1, w_pad)
     v2_p = _pad_to(v2, w_pad)
 
-    n_tiles = r_pad // RAY_TILE
+    n_rows = r_pad // RAY_LANES
+    n_tiles = n_rows // RAY_ROWS
     ray_cols = [
-        x.reshape(n_tiles, RAY_TILE)
+        x.reshape(n_rows, RAY_LANES)
         for arr in (o_p, d_p)
         for x in (arr[:, 0], arr[:, 1], arr[:, 2])
     ]
 
     grid = (n_tiles,)
-    ray_spec = pl.BlockSpec((1, RAY_TILE), lambda i: (i, 0),
+    ray_spec = pl.BlockSpec((RAY_ROWS, RAY_LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     tri_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_specs = [
-        pl.BlockSpec((1, RAY_TILE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((RAY_ROWS, RAY_LANES), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM)
     ] * 4
     out_shape = [
-        jax.ShapeDtypeStruct((n_tiles, RAY_TILE), jnp.float32),
-        jax.ShapeDtypeStruct((n_tiles, RAY_TILE), jnp.int32),
-        jax.ShapeDtypeStruct((n_tiles, RAY_TILE), jnp.float32),
-        jax.ShapeDtypeStruct((n_tiles, RAY_TILE), jnp.float32),
+        jax.ShapeDtypeStruct((n_rows, RAY_LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_rows, RAY_LANES), jnp.int32),
+        jax.ShapeDtypeStruct((n_rows, RAY_LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_rows, RAY_LANES), jnp.float32),
     ]
 
     t, idx, beta, gamma = pl.pallas_call(

@@ -39,6 +39,17 @@ from advanced_cpu_raytracing_tpu.ops.intersect import (
 
 INF = jnp.float32(jnp.inf)
 
+# Use the Pallas dense-intersect kernel for brute-force queries on TPU.
+# None = auto (TPU backend only); the jnp path remains the AD route (the
+# kernel has no VJP) and the motion-blur route (per-item ray offsets).
+USE_PALLAS_BRUTE: bool | None = None
+
+
+def _pallas_available() -> bool:
+    if USE_PALLAS_BRUTE is not None:
+        return USE_PALLAS_BRUTE
+    return jax.default_backend() == "tpu"
+
 KIND_NONE = jnp.int32(-1)
 KIND_TRI = jnp.int32(0)
 KIND_SPHERE = jnp.int32(1)
@@ -65,10 +76,34 @@ def _empty_hit(n: int) -> Hit:
 # Triangles — brute force
 # --------------------------------------------------------------------------
 
-def _brute_tri_best(pack, o, d, time, skip_emissive: bool):
+def _brute_tri_best(pack, o, d, time, skip_emissive: bool,
+                    allow_pallas: bool = True):
     """Best triangle hit over all work items. o,d: (R,3); returns per-ray
     (t, ent, face, beta, gamma, valid)."""
     st = pack.static
+    if allow_pallas and not st.has_motion and _pallas_available():
+        from advanced_cpu_raytracing_tpu.ops.pallas.tri_intersect import (
+            tri_closest_hit_pallas,
+        )
+
+        if skip_emissive:
+            t, idx, beta, gamma = tri_closest_hit_pallas(
+                o, d, pack.ws_v0, pack.ws_v1, pack.ws_v2
+            )
+            # occlusion queries ignore identity; map idx=-1 -> dummy 0
+            valid = idx >= 0
+            idx0 = jnp.maximum(idx, 0)
+            # the shadow arrays lost the ent/face mapping; occlusion only
+            # needs (t, valid), and callers of skip_emissive=True use only
+            # those
+            return t, idx0, idx0, beta, gamma, valid
+        t, idx, beta, gamma = tri_closest_hit_pallas(
+            o, d, pack.wi_v0, pack.wi_v1, pack.wi_v2
+        )
+        valid = idx >= 0
+        idx0 = jnp.maximum(idx, 0)
+        return (t, pack.wi_ent[idx0], pack.wi_face[idx0], beta, gamma, valid)
+
     # (W,R) broadcasting: rays axis last to keep the lane dim contiguous.
     ow = o[None, :, :]
     if st.has_motion:
@@ -221,7 +256,8 @@ def _sphere_best(pack, o, d, time):
 # Public queries
 # --------------------------------------------------------------------------
 
-def closest_hit(pack, o, d, time=None, skip_emissive: bool = False) -> Hit:
+def closest_hit(pack, o, d, time=None, skip_emissive: bool = False,
+                allow_pallas: bool = True) -> Hit:
     """Closest intersection along each ray (IntersectObjects,
     src/raytracer.cpp:625-643)."""
     st = pack.static
@@ -238,7 +274,7 @@ def closest_hit(pack, o, d, time=None, skip_emissive: bool = False) -> Hit:
             )
         else:
             t_tri, ent, face, beta, gamma, v_tri = _brute_tri_best(
-                pack, o, d, time, skip_emissive
+                pack, o, d, time, skip_emissive, allow_pallas
             )
         hit = Hit(
             t=jnp.where(v_tri, t_tri, hit.t),
@@ -265,7 +301,8 @@ def closest_hit(pack, o, d, time=None, skip_emissive: bool = False) -> Hit:
     return hit
 
 
-def occluded(pack, o, d, light_t, time=None) -> jnp.ndarray:
+def occluded(pack, o, d, light_t, time=None,
+             allow_pallas: bool = True) -> jnp.ndarray:
     """True where something (non-emissive for meshes) blocks the segment
     to the light: min-hit with init ``light_t + 0.01`` compared against
     ``light_t`` (IsInShadow, src/raytracer.cpp:567-583)."""
@@ -278,7 +315,8 @@ def occluded(pack, o, d, light_t, time=None) -> jnp.ndarray:
         if st.use_bvh:
             t_tri, _, _, _, _, v = _bvh_tri_best(pack, o, d, time, True)
         else:
-            t_tri, _, _, _, _, v = _brute_tri_best(pack, o, d, time, True)
+            t_tri, _, _, _, _, v = _brute_tri_best(pack, o, d, time, True,
+                                                   allow_pallas)
         blocked = blocked | (v & (t_tri < light_t))
     if st.n_spheres > 0:
         t_s, _, v_s = _sphere_best(pack, o, d, time)

@@ -41,6 +41,7 @@ from advanced_cpu_raytracing_tpu.render.lights import (
 )
 from advanced_cpu_raytracing_tpu.render.shading import (
     _sample_tex_rgb,
+    gather_materials,
     shade_weight,
     surface_at,
 )
@@ -72,13 +73,19 @@ class RenderOptions:
     # result is identical — only early exit is lost).
     differentiable: bool = False
 
-    def auto_iters(self) -> int:
+    def auto_iters(self, branching: int = 2) -> int:
+        """Upper bound on processed tree nodes per lane.
+
+        ``branching`` = max children per node (1 for pure specular chains,
+        2 with dielectric splits or PT+specular, 3 for PT+dielectric); a
+        b-ary tree of depth d has at most (b^(d+1)-1)/(b-1) nodes.
+        """
         if self.max_iters:
             return self.max_iters
         d = self.max_depth + (RR_DEPTH_FLOOR if self.russian_roulette else 0)
-        # a full dielectric binary tree has 2^(d+1)-1 nodes; PT adds the GI
-        # chain; cap generously but finitely
-        return min(2 ** (min(d, 9) + 1) + 64, 2048)
+        if branching <= 1:
+            return d + 2
+        return min((branching ** (min(d, 9) + 1)) // (branching - 1) + 16, 4096)
 
 
 class _Stack(NamedTuple):
@@ -89,6 +96,7 @@ class _Stack(NamedTuple):
     medium: jnp.ndarray  # (R,K)
     depth: jnp.ndarray  # (R,K)
     envmiss: jnp.ndarray  # (R,K) bool
+    primary: jnp.ndarray  # (R,K) bool — miss resolves to the bg color
     sp: jnp.ndarray  # (R,)
 
 
@@ -101,19 +109,30 @@ def _make_stack(r: int, k: int) -> _Stack:
         o=jnp.zeros((r, k, 3)), d=d0,
         w=jnp.zeros((r, k, 3)), absorb=jnp.zeros((r, k, 3)),
         medium=jnp.ones((r, k)), depth=jnp.zeros((r, k), jnp.int32),
-        envmiss=jnp.zeros((r, k), bool), sp=jnp.zeros(r, jnp.int32),
+        envmiss=jnp.zeros((r, k), bool), primary=jnp.zeros((r, k), bool),
+        sp=jnp.zeros(r, jnp.int32),
     )
 
 
-def _push(stack: _Stack, mask, o, d, w, absorb, medium, depth, envmiss) -> _Stack:
+def _push(stack: _Stack, mask, o, d, w, absorb, medium, depth, envmiss,
+          primary=None) -> _Stack:
+    """Push one entry per masked lane at its stack pointer.
+
+    Implemented as a one-hot select over the (small, static) K axis rather
+    than a dynamic-index scatter: per-lane scatters cost tens of ms at 500k
+    lanes on TPU, while the masked broadcast is a plain bandwidth-bound
+    elementwise op.
+    """
     r = mask.shape[0]
-    lanes = jnp.arange(r)
-    sp = stack.sp
-    sel = lambda new, old: jnp.where(mask[:, None] if new.ndim == 2 else mask, new, old)
+    k = stack.o.shape[1]
+    if primary is None:
+        primary = jnp.zeros(r, bool)
+    slot = (jnp.arange(k)[None, :] == stack.sp[:, None]) & mask[:, None]  # (R,K)
 
     def set2(arr, val):
-        cur = arr[lanes, sp]
-        return arr.at[lanes, sp].set(jnp.where(mask[..., None] if val.ndim == 2 else mask, val, cur))
+        if arr.ndim == 3:
+            return jnp.where(slot[..., None], val[:, None, :], arr)
+        return jnp.where(slot, val[:, None], arr)
 
     return _Stack(
         o=set2(stack.o, o), d=set2(stack.d, d), w=set2(stack.w, w),
@@ -121,19 +140,30 @@ def _push(stack: _Stack, mask, o, d, w, absorb, medium, depth, envmiss) -> _Stac
         medium=set2(stack.medium, medium),
         depth=set2(stack.depth, depth),
         envmiss=set2(stack.envmiss, envmiss),
-        sp=sp + mask.astype(jnp.int32),
+        primary=set2(stack.primary, primary),
+        sp=stack.sp + mask.astype(jnp.int32),
     )
 
 
 def _pop(stack: _Stack):
+    """Pop the top entry per lane (masked one-hot reduction over K)."""
     r = stack.sp.shape[0]
-    lanes = jnp.arange(r)
+    k = stack.o.shape[1]
     active = stack.sp > 0
     idx = jnp.maximum(stack.sp - 1, 0)
+    slot = jnp.arange(k)[None, :] == idx[:, None]  # (R,K)
+
+    def get2(arr, default=0.0):
+        if arr.ndim == 3:
+            return jnp.sum(jnp.where(slot[..., None], arr, 0), axis=1)
+        if arr.dtype == jnp.bool_:
+            return jnp.any(slot & arr, axis=1)
+        return jnp.sum(jnp.where(slot, arr, 0), axis=1)
+
     entry = (
-        stack.o[lanes, idx], stack.d[lanes, idx], stack.w[lanes, idx],
-        stack.absorb[lanes, idx], stack.medium[lanes, idx],
-        stack.depth[lanes, idx], stack.envmiss[lanes, idx],
+        get2(stack.o), get2(stack.d), get2(stack.w), get2(stack.absorb),
+        get2(stack.medium), get2(stack.depth), get2(stack.envmiss),
+        get2(stack.primary),
     )
     new_stack = stack._replace(sp=jnp.where(active, stack.sp - 1, stack.sp))
     return new_stack, active, entry
@@ -175,18 +205,20 @@ def _process_hit(pack: ScenePack, opts: RenderOptions, o, d, w_in, absorb,
     surf = surface_at(pack, o, d, time, hit)
     w_o = -d
     m = surf.mat
-    mtype = pack.mat_type[m]
+    mr = gather_materials(pack, m)
+    mtype = mr.type
     eps = pack.shadow_eps
     n = surf.normal
     p = surf.point
-    rough = pack.mat_roughness[m]
+    rough = mr.rough
 
     active = valid
+    any_specular = st.has_mirror or st.has_dielectric or st.has_conductor
 
     # emissive: radiance * 2pi, nothing else (raytracer.cpp:81-84)
     is_emissive = mtype == int(MaterialType.EMISSIVE)
     L = L + jnp.where((active & is_emissive)[:, None],
-                      w * pack.mat_radiance[m] * (2.0 * PI), 0.0)
+                      w * mr.radiance * (2.0 * PI), 0.0)
     active = active & ~is_emissive
 
     # replace_all texture short-circuits shading (raytracer.cpp:87-89)
@@ -197,7 +229,12 @@ def _process_hit(pack: ScenePack, opts: RenderOptions, o, d, w_in, absorb,
         L = L + jnp.where((active & has_ra)[:, None], w * ra_col, 0.0)
         active = active & ~has_ra
 
-    inside = medium > 1.00001  # travellingInsideAnObject (raytracer.cpp:77-78)
+    # travellingInsideAnObject (raytracer.cpp:77-78); the medium can only
+    # exceed vacuum when dielectric materials exist (static gate)
+    if st.has_dielectric:
+        inside = medium > 1.00001
+    else:
+        inside = jnp.zeros(r, bool)
 
     key, k_gi, k_rr, k_dl, k_m, k_c, k_t, k_rl, k_rf = jax.random.split(key, 9)
 
@@ -228,7 +265,8 @@ def _process_hit(pack: ScenePack, opts: RenderOptions, o, d, w_in, absorb,
             + v_b * (jnp.sin(theta) * jnp.sin(phi))[:, None]
         )
         gi_o = p + n * 1e-4  # hardcoded GI epsilon (raytracer.cpp:174)
-        gi_hit = closest_hit(pack, gi_o, gi_dir, time)
+        gi_hit = closest_hit(pack, gi_o, gi_dir, time,
+                              allow_pallas=not opts.differentiable)
         # NEE double-count suppression: if the GI ray hits an emissive mesh
         # light, the parent's direct sampling skips that light
         # (raytracer.cpp:180-188, 778-781)
@@ -237,7 +275,7 @@ def _process_hit(pack: ScenePack, opts: RenderOptions, o, d, w_in, absorb,
             gi_em = gi_hit.valid & (gi_hit.kind == KIND_TRI) & pack.ent_emissive[gi_ent]
             skip_ml = jnp.where(gi_alive & gi_em, pack.ent_mlight[gi_ent], -1)
 
-        gi_w = w * shade_weight(pack, surf, gi_dir, w_o) * (2.0 * PI) \
+        gi_w = w * shade_weight(pack, surf, gi_dir, w_o, mr) * (2.0 * PI) \
             * rr_scale[:, None]
         stack = _push(
             stack, gi_alive & gi_hit.valid, gi_o, gi_dir, gi_w,
@@ -248,97 +286,127 @@ def _process_hit(pack: ScenePack, opts: RenderOptions, o, d, w_in, absorb,
     sample_direct = (not opts.path_tracing) or opts.next_event_estimation
     if sample_direct:
         lit = active & ~inside
-        amb = pack.ambient_light * pack.mat_ambient[m]
+        amb = pack.ambient_light * mr.ambient
         contrib = amb
         n_lights = (st.n_point + st.n_area + st.n_env + st.n_directional
                     + st.n_spot + st.n_mesh_lights)
         if n_lights > 0:
-            contrib = contrib + direct_lighting(pack, surf, w_o, time, k_dl,
-                                                skip_ml)
+            contrib = contrib + direct_lighting(
+                pack, surf, w_o, time, k_dl, skip_ml,
+                allow_pallas=not opts.differentiable, mat_rows=mr)
         L = L + jnp.where(lit[:, None], w * contrib, 0.0)
 
     can_recurse = depth > 0
 
-    # ---- mirror (raytracer.cpp:442-472) ----
-    is_mirror = mtype == int(MaterialType.MIRROR)
-    if True:
-        w_r = _reflect_rough(n, w_o, rough, k_m)
+    # ---- specular children ----
+    # Mirror / conductor / dielectric are mutually exclusive per material, so
+    # all "reflection-like" children (mirror raytracer.cpp:442-472, conductor
+    # 208-254, dielectric TIR 292-311 and partial reflection 326-356) merge
+    # into ONE masked push; the refraction leg (358-410) is the second.
+    any_reflect = jnp.zeros(r, bool)
+    refl_o = p
+    refl_d = w_o
+    refl_w = w
+    refl_absorb = jnp.zeros((r, 3))
+    refl_medium = jnp.ones(r)
+    refl_env = jnp.zeros(r, bool)
+
+    if st.has_mirror or st.has_conductor:
+        w_rn = _reflect_rough(n, w_o, rough, k_m)
+
+    if st.has_mirror:
+        is_mirror = active & (mtype == int(MaterialType.MIRROR)) & can_recurse
+        any_reflect |= is_mirror
+        mm = is_mirror[:, None]
+        refl_o = jnp.where(mm, p + n * eps, refl_o)
+        refl_d = jnp.where(mm, w_rn, refl_d)
+        refl_w = jnp.where(mm, w * mr.mirror, refl_w)
+        # mirror miss samples the env light (461-469)
+        refl_env |= is_mirror & bool(st.has_env)
+
+    if st.has_conductor:
+        cos_t = dot(w_o, n)
+        n2 = mr.ior
+        k2 = mr.cond_k
+        n2k2 = n2 * n2 + k2 * k2
+        two_n2cos = 2.0 * n2 * cos_t
+        cos2 = cos_t * cos_t
+        rs = (n2k2 - two_n2cos + cos2) / jnp.maximum(n2k2 + two_n2cos + cos2, 1e-20)
+        rp = (n2k2 * cos2 - two_n2cos + 1.0) / jnp.maximum(n2k2 * cos2 + two_n2cos + 1.0, 1e-20)
+        ratio = 0.5 * (rs + rp)
+        is_cond = (active & (mtype == int(MaterialType.CONDUCTOR))
+                   & can_recurse & (ratio > 1e-4))
+        any_reflect |= is_cond
+        cm = is_cond[:, None]
+        refl_o = jnp.where(cm, p + n * eps, refl_o)
+        refl_d = jnp.where(cm, w_rn, refl_d)
+        refl_w = jnp.where(cm, w * mr.mirror * ratio[:, None], refl_w)
+        # conductor miss contributes 0 (242-247): refl_env stays False
+
+    if st.has_dielectric:
+        is_diel = mtype == int(MaterialType.DIELECTRIC)
+        cos0 = -dot(d, n)
+        entering = cos0 > 0.0
+        n_mod = jnp.where(entering[:, None], n, -n)
+        cos_i = jnp.abs(cos0)
+        n1 = jnp.where(entering, medium, mr.ior)
+        n2d = jnp.where(entering, mr.ior, 1.0)
+        obj_n = jnp.where(entering, mr.ior, 1.0)
+        ratio_n = n1 / jnp.maximum(n2d, 1e-20)
+        sin2 = 1.0 - cos_i * cos_i
+        crit = ratio_n * ratio_n * sin2
+        tir = crit > 1.0
+        mat_abs = mr.absorption
+        w_rd = _reflect_rough(n_mod, w_o, rough, k_t)
+
+        # TIR: reflect only, weight 1, medium copied (292-311)
+        is_tir = active & is_diel & tir & can_recurse
+        any_reflect |= is_tir
+        tm = is_tir[:, None]
+        refl_o = jnp.where(tm, p + n_mod * eps, refl_o)
+        refl_d = jnp.where(tm, w_rd, refl_d)
+        refl_w = jnp.where(tm, w, refl_w)
+        refl_absorb = jnp.where(
+            tm & (medium > 1.0001)[:, None], mat_abs, refl_absorb)
+        refl_medium = jnp.where(is_tir, medium, refl_medium)
+
+        # partial reflection (313-356); both children take objN as medium
+        cos_p = jnp.sqrt(jnp.maximum(1.0 - crit, 0.0))
+        n2cos = n2d * cos_i
+        n1cosp = n1 * cos_p
+        rpar = (n2cos - n1cosp) / jnp.maximum(n2cos + n1cosp, 1e-20)
+        rperp = (n1 * cos_i - n2d * cos_p) / jnp.maximum(
+            n1 * cos_i + n2d * cos_p, 1e-20)
+        r_refl = 0.5 * (rpar * rpar + rperp * rperp)
+        r_refr = 1.0 - r_refl
+        child_medium = obj_n
+
+        is_rl = active & is_diel & ~tir & can_recurse
+        any_reflect |= is_rl
+        rm = is_rl[:, None]
+        refl_o = jnp.where(rm, p + n_mod * eps, refl_o)
+        refl_d = jnp.where(rm, w_rd, refl_d)
+        refl_w = jnp.where(rm, w * r_refl[:, None], refl_w)
+        refl_absorb = jnp.where(
+            rm & (child_medium > 1.00001)[:, None], mat_abs, refl_absorb)
+        refl_medium = jnp.where(is_rl, child_medium, refl_medium)
+        refl_env |= is_rl & bool(st.has_env)
+
+    if any_specular:
+        stack = _push(stack, any_reflect, refl_o, refl_d, refl_w,
+                      refl_absorb, refl_medium, depth - 1, refl_env)
+
+    if st.has_dielectric:
+        # refraction leg (358-410)
+        refr_dir = (d + n_mod * cos_i[:, None]) * ratio_n[:, None] \
+            - n_mod * cos_p[:, None]
+        refr_dir = _perturb_dir(refr_dir, rough, k_rf)
+        absorb_rf = jnp.where((child_medium > 1.001)[:, None], mat_abs, 0.0)
         stack = _push(
-            stack, active & is_mirror & can_recurse,
-            p + n * eps, w_r, w * pack.mat_mirror[m],
-            jnp.zeros((r, 3)), jnp.ones(r), depth - 1,
-            jnp.full(r, st.has_env),  # mirror miss samples env (461-469)
+            stack, is_rl,
+            p - n_mod * eps, refr_dir, w * r_refr[:, None],
+            absorb_rf, child_medium, depth - 1, jnp.full(r, st.has_env),
         )
-
-    # ---- conductor (raytracer.cpp:208-254) ----
-    is_cond = mtype == int(MaterialType.CONDUCTOR)
-    cos_t = dot(w_o, n)
-    n2 = pack.mat_ior[m]
-    k2 = pack.mat_cond_k[m]
-    n2k2 = n2 * n2 + k2 * k2
-    two_n2cos = 2.0 * n2 * cos_t
-    cos2 = cos_t * cos_t
-    rs = (n2k2 - two_n2cos + cos2) / jnp.maximum(n2k2 + two_n2cos + cos2, 1e-20)
-    rp = (n2k2 * cos2 - two_n2cos + 1.0) / jnp.maximum(n2k2 * cos2 + two_n2cos + 1.0, 1e-20)
-    ratio = 0.5 * (rs + rp)
-    w_rc = _reflect_rough(n, w_o, rough, k_c)
-    stack = _push(
-        stack, active & is_cond & can_recurse & (ratio > 1e-4),
-        p + n * eps, w_rc, w * pack.mat_mirror[m] * ratio[:, None],
-        jnp.zeros((r, 3)), jnp.ones(r), depth - 1,
-        jnp.zeros(r, bool),  # conductor miss contributes 0 (242-247)
-    )
-
-    # ---- dielectric (raytracer.cpp:261-415) ----
-    is_diel = mtype == int(MaterialType.DIELECTRIC)
-    cos0 = -dot(d, n)
-    entering = cos0 > 0.0
-    n_mod = jnp.where(entering[:, None], n, -n)
-    cos_i = jnp.abs(cos0)
-    n1 = jnp.where(entering, medium, pack.mat_ior[m])
-    n2d = jnp.where(entering, pack.mat_ior[m], 1.0)
-    obj_n = jnp.where(entering, pack.mat_ior[m], 1.0)
-    ratio_n = n1 / jnp.maximum(n2d, 1e-20)
-    sin2 = 1.0 - cos_i * cos_i
-    crit = ratio_n * ratio_n * sin2
-    tir = crit > 1.0
-    mat_abs = pack.mat_absorption[m]
-
-    # TIR: reflect only, weight 1, medium unchanged (292-311)
-    w_rt = _reflect_rough(n_mod, w_o, rough, k_t)
-    absorb_tir = jnp.where((medium > 1.0001)[:, None], mat_abs, 0.0)
-    stack = _push(
-        stack, active & is_diel & tir & can_recurse,
-        p + n_mod * eps, w_rt, w,
-        absorb_tir, medium, depth - 1, jnp.zeros(r, bool),
-    )
-
-    # partial reflect + refract (313-411)
-    cos_p = jnp.sqrt(jnp.maximum(1.0 - crit, 0.0))
-    n2cos = n2d * cos_i
-    n1cosp = n1 * cos_p
-    rpar = (n2cos - n1cosp) / jnp.maximum(n2cos + n1cosp, 1e-20)
-    rperp = (n1 * cos_i - n2d * cos_p) / jnp.maximum(n1 * cos_i + n2d * cos_p, 1e-20)
-    r_refl = 0.5 * (rpar * rpar + rperp * rperp)
-    r_refr = 1.0 - r_refl
-    child_medium = obj_n  # both children (331-338, 381-388)
-
-    w_rl = _reflect_rough(n_mod, w_o, rough, k_rl)
-    absorb_rl = jnp.where((child_medium > 1.00001)[:, None], mat_abs, 0.0)
-    stack = _push(
-        stack, active & is_diel & ~tir & can_recurse,
-        p + n_mod * eps, w_rl, w * r_refl[:, None],
-        absorb_rl, child_medium, depth - 1, jnp.full(r, st.has_env),
-    )
-
-    refr_dir = (d + n_mod * cos_i[:, None]) * ratio_n[:, None] - n_mod * cos_p[:, None]
-    refr_dir = _perturb_dir(refr_dir, rough, k_rf)
-    absorb_rf = jnp.where((child_medium > 1.001)[:, None], mat_abs, 0.0)
-    stack = _push(
-        stack, active & is_diel & ~tir & can_recurse,
-        p - n_mod * eps, refr_dir, w * r_refr[:, None],
-        absorb_rf, child_medium, depth - 1, jnp.full(r, st.has_env),
-    )
 
     return L, stack
 
@@ -348,42 +416,43 @@ def trace_radiance(pack: ScenePack, cam, px, py, key, opts: RenderOptions):
 
     Replicates PerPixel (src/raytracer.cpp:38-63): primary ray (with DoF and
     motion-blur time), background resolution order on miss (bg texture ->
-    env light -> flat color), then the shading tree via the stack loop.
+    env light -> flat color), then the shading tree.  The primary ray is
+    pushed onto the stack like any other node, so the loop body is the single
+    compiled trace+shade instance.
     """
     st = pack.static
     r = px.shape[0]
-    key, k_time, k_lens, k_first, k_loop = jax.random.split(key, 5)
+    key, k_time, k_lens, k_loop = jax.random.split(key, 4)
 
     time = jax.random.uniform(k_time, (r,)) if st.has_motion else jnp.zeros(r)
     lens = jax.random.uniform(k_lens, (r, 2), minval=-1.0, maxval=1.0)
     o, d = cam_mod.generate_rays(cam, px, py, lens, dof=cam.use_dof)
 
-    hit = closest_hit(pack, o, d, time)
-
-    # primary miss color (raytracer.cpp:49-62)
+    # primary miss color (raytracer.cpp:49-62): bg texture -> env -> flat
     if st.bg_tex >= 0:
         u = px / cam.width
         v = py / cam.height
         ti = jnp.full(r, st.bg_tex, jnp.int32)
-        miss_col = _sample_tex_rgb(
-            pack, ti, jnp.stack([u, v], axis=-1)
-        )
+        miss_col = _sample_tex_rgb(pack, ti, jnp.stack([u, v], axis=-1))
     elif st.has_env:
         miss_col = env_sample_radiance(pack, d)
     else:
         miss_col = jnp.broadcast_to(pack.bg_color, (r, 3))
-    L = jnp.where(hit.valid[:, None], 0.0, miss_col)
 
-    k_stack = 2 * (opts.max_depth + (RR_DEPTH_FLOOR if opts.russian_roulette
-                                     else 0)) + 4
+    # stack capacity: with P push-branches per node, DFS depth grows by at
+    # most (P-1) per level.  P = specular chain (1) + GI (PT) + the extra
+    # dielectric split.
+    branches = 1 + (1 if opts.path_tracing else 0) + (1 if st.has_dielectric else 0)
+    depth_total = opts.max_depth + (RR_DEPTH_FLOOR if opts.russian_roulette else 0)
+    k_stack = max(branches - 1, 1) * max(depth_total, 1) + 4
     stack = _make_stack(r, k_stack)
+    ones = jnp.ones(r, bool)
+    stack = _push(stack, ones, o, d, jnp.ones((r, 3)), jnp.zeros((r, 3)),
+                  jnp.ones(r), jnp.full(r, opts.max_depth, jnp.int32),
+                  jnp.zeros(r, bool), primary=ones)
 
-    L, stack = _process_hit(
-        pack, opts, o, d, jnp.ones((r, 3)), jnp.zeros((r, 3)), jnp.ones(r),
-        jnp.full(r, opts.max_depth, jnp.int32), time, k_first, hit, L, stack,
-    )
-
-    max_iters = opts.auto_iters()
+    L = jnp.zeros((r, 3))
+    max_iters = opts.auto_iters(branching=branches) + 1
 
     def cond(state):
         it, _, _, stack = state
@@ -392,13 +461,17 @@ def trace_radiance(pack: ScenePack, cam, px, py, key, opts: RenderOptions):
     def body(state):
         it, key, L, stack = state
         key, k_it = jax.random.split(key)
-        stack, active, (eo, ed, ew, eabs, emed, edep, eenv) = _pop(stack)
-        hit = closest_hit(pack, eo, ed, time)
+        stack, active, (eo, ed, ew, eabs, emed, edep, eenv, eprim) = _pop(stack)
+        hit = closest_hit(pack, eo, ed, time,
+                          allow_pallas=not opts.differentiable)
         hit = hit._replace(valid=hit.valid & active)
-        # secondary miss: env contribution only where the branch samples it
+        # miss resolution: primary -> bg color stack; secondary -> env only
+        # where the spawning branch samples it (else 0)
+        missed = active & ~hit.valid
+        L = L + jnp.where((missed & eprim)[:, None], ew * miss_col, 0.0)
         if st.has_env:
             env_c = env_sample_radiance(pack, ed)
-            L = L + jnp.where((active & eenv & ~hit.valid)[:, None],
+            L = L + jnp.where((missed & ~eprim & eenv)[:, None],
                               ew * env_c, 0.0)
         L, stack = _process_hit(
             pack, opts, eo, ed, ew, eabs, emed, edep, time, k_it, hit, L, stack,

@@ -31,17 +31,18 @@ def env_sample_radiance(pack, d):
     return sample_nearest(pack.img_atlas, pack.img_w, pack.img_h, idx, u, v) * (2.0 * PI)
 
 
-def _shadow_query(pack, surf: Surface, light_pos, time):
+def _shadow_query(pack, surf: Surface, light_pos, time, allow_pallas=True):
     """IsInShadow (raytracer.cpp:567-583): offset origin along the normal by
     shadow_ray_epsilon, normalized direction, blocked iff hit before light."""
     to_light = light_pos - surf.point
     dist = length(to_light)
     d = to_light / jnp.maximum(dist, 1e-20)[:, None]
     o = surf.point + surf.normal * pack.shadow_eps
-    return occluded(pack, o, d, dist, time), d, dist
+    return occluded(pack, o, d, dist, time, allow_pallas), d, dist
 
 
-def direct_lighting(pack, surf: Surface, w_o, time, key, skip_mlight=None):
+def direct_lighting(pack, surf: Surface, w_o, time, key, skip_mlight=None,
+                    allow_pallas: bool = True, mat_rows=None):
     """Sum of all direct-light contributions at the surface points.
 
     ``skip_mlight`` (R,) holds a mesh-light index to skip for NEE
@@ -50,13 +51,23 @@ def direct_lighting(pack, surf: Surface, w_o, time, key, skip_mlight=None):
     st = pack.static
     r = surf.point.shape[0]
     total = jnp.zeros((r, 3), jnp.float32)
+    # texture-modulated reflectances are light-independent; compute once
+    from advanced_cpu_raytracing_tpu.render.shading import (
+        diffuse_reflectance,
+        specular_reflectance,
+    )
+
+    kd = diffuse_reflectance(
+        pack, surf, None if mat_rows is None else mat_rows.diffuse)
+    ks = specular_reflectance(
+        pack, surf, None if mat_rows is None else mat_rows.specular)
 
     # ---- point lights (raytracer.cpp:706-718) ----
     for i in range(st.n_point):
         lp = jnp.broadcast_to(pack.pl_pos[i], (r, 3))
-        blocked, w_i, dist = _shadow_query(pack, surf, lp, time)
+        blocked, w_i, dist = _shadow_query(pack, surf, lp, time, allow_pallas)
         irr = pack.pl_intensity[i] / jnp.maximum(dist * dist, 1e-20)[:, None]
-        contrib = shade(pack, surf, w_i, w_o, irr)
+        contrib = shade(pack, surf, w_i, w_o, irr, kd, ks, mat_rows)
         total = total + jnp.where(blocked[:, None], 0.0, contrib)
 
     # ---- area lights (raytracer.cpp:720-740, areaLight.h:34-41) ----
@@ -68,13 +79,13 @@ def direct_lighting(pack, surf: Surface, w_o, time, key, skip_mlight=None):
             + pack.al_u[i] * (pack.al_extent[i] * offs[:, 0:1])
             + pack.al_v[i] * (pack.al_extent[i] * offs[:, 1:2])
         )
-        blocked, w_i, dist = _shadow_query(pack, surf, sample_pos, time)
+        blocked, w_i, dist = _shadow_query(pack, surf, sample_pos, time, allow_pallas)
         l_cos = dot(jnp.broadcast_to(pack.al_normal[i], (r, 3)), -w_i)
         l_cos = jnp.where(l_cos < 0, -l_cos, l_cos)  # two-sided (733-736)
         irr = pack.al_radiance[i] * (
             pack.al_area[i] * l_cos / jnp.maximum(dist * dist, 1e-20)
         )[:, None]
-        contrib = shade(pack, surf, w_i, w_o, irr)
+        contrib = shade(pack, surf, w_i, w_o, irr, kd, ks, mat_rows)
         total = total + jnp.where(blocked[:, None], 0.0, contrib)
 
     # ---- environment lights (raytracer.cpp:741-755): rejection-sampled
@@ -87,22 +98,23 @@ def direct_lighting(pack, surf: Surface, w_o, time, key, skip_mlight=None):
         v = jnp.arccos(jnp.clip(d[:, 1], -1.0, 1.0)) / PI
         idx = jnp.full(r, pack.env_img[i], jnp.int32)
         irr = sample_nearest(pack.img_atlas, pack.img_w, pack.img_h, idx, u, v) * (2.0 * PI)
-        contrib = shade(pack, surf, surf.normal, w_o, irr)
+        contrib = shade(pack, surf, surf.normal, w_o, irr, kd, ks, mat_rows)
         total = total + contrib
 
     # ---- directional lights (raytracer.cpp:757-765): shadow ray to infinity ----
     for i in range(st.n_directional):
         w_i = jnp.broadcast_to(-pack.dl_dir[i], (r, 3))
         o = surf.point + surf.normal * pack.shadow_eps
-        blocked = occluded(pack, o, w_i, jnp.full(r, jnp.inf), time)
+        blocked = occluded(pack, o, w_i, jnp.full(r, jnp.inf), time,
+                           allow_pallas)
         irr = jnp.broadcast_to(pack.dl_radiance[i], (r, 3))
-        contrib = shade(pack, surf, w_i, w_o, irr)
+        contrib = shade(pack, surf, w_i, w_o, irr, kd, ks, mat_rows)
         total = total + jnp.where(blocked[:, None], 0.0, contrib)
 
     # ---- spot lights (raytracer.cpp:767-776, spotLight.h:33-57) ----
     for i in range(st.n_spot):
         lp = jnp.broadcast_to(pack.sl_pos[i], (r, 3))
-        blocked, w_i, dist = _shadow_query(pack, surf, lp, time)
+        blocked, w_i, dist = _shadow_query(pack, surf, lp, time, allow_pallas)
         to_point = -w_i  # unit vector light -> point
         cos_alpha = jnp.clip(dot(jnp.broadcast_to(pack.sl_dir[i], (r, 3)), to_point), -1.0, 1.0)
         alpha_deg = jnp.rad2deg(jnp.arccos(cos_alpha))
@@ -120,7 +132,7 @@ def direct_lighting(pack, surf: Surface, w_o, time, key, skip_mlight=None):
         irr = jnp.where(in_falloff[:, None], irr * s[:, None], irr)
         outside = (alpha_deg <= 0) | (alpha_deg > pack.sl_coverage_deg[i] / 2.0)
         irr = jnp.where(outside[:, None], 0.0, irr)
-        contrib = shade(pack, surf, w_i, w_o, irr)
+        contrib = shade(pack, surf, w_i, w_o, irr, kd, ks, mat_rows)
         total = total + jnp.where(blocked[:, None], 0.0, contrib)
 
     # ---- mesh lights (raytracer.cpp:778-803, meshLight.h:27-50) ----
@@ -142,11 +154,11 @@ def direct_lighting(pack, surf: Surface, w_o, time, key, skip_mlight=None):
         pos = transform_point(pack.ent_fwd[ent], pos)
         l_nrm = pack.tri_normal[fsel]  # object-space, untransformed (meshLight.h:47)
 
-        blocked, w_i, dist = _shadow_query(pack, surf, pos, time)
+        blocked, w_i, dist = _shadow_query(pack, surf, pos, time, allow_pallas)
         l_cos = dot(l_nrm, -w_i)
         l_cos = jnp.where(l_cos < 0, -l_cos, l_cos)
         rad = pack.ml_radiance[i] * (weight * 2.0 * PI)[:, None]
-        contrib = shade(pack, surf, w_i, w_o, rad)
+        contrib = shade(pack, surf, w_i, w_o, rad, kd, ks, mat_rows)
         skip = jnp.zeros(r, bool) if skip_mlight is None else (skip_mlight == i)
         total = total + jnp.where((blocked | skip)[:, None], 0.0, contrib)
 

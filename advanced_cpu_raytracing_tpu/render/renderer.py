@@ -30,14 +30,40 @@ from advanced_cpu_raytracing_tpu.render.integrator import (
 from advanced_cpu_raytracing_tpu.scene.pack import ScenePack, pack_scene
 from advanced_cpu_raytracing_tpu.scene.types import CameraCfg, SceneConfig
 
-DEFAULT_TILE = 1 << 16
+DEFAULT_TILE = 1 << 21  # upper bound; render_camera clamps by stack memory
+
+
+def _auto_tile(total: int, opts: RenderOptions, pack: ScenePack,
+               requested: int | None) -> int:
+    """Pick the lane-tile size: as large as possible (host->device dispatch
+    latency dominates small tiles) while keeping the per-lane ray stack
+    within a fixed HBM budget."""
+    if requested:
+        return requested
+    branches = 1 + (1 if opts.path_tracing else 0) + \
+        (1 if pack.static.has_dielectric else 0)
+    from advanced_cpu_raytracing_tpu.render.integrator import RR_DEPTH_FLOOR
+
+    depth_total = opts.max_depth + (RR_DEPTH_FLOOR if opts.russian_roulette
+                                    else 0)
+    k = max(branches - 1, 1) * max(depth_total, 1) + 4
+    bytes_per_lane = k * 64 + 256  # stack entries + working set
+    budget = 4 << 30
+    tile = min(DEFAULT_TILE, max(budget // bytes_per_lane, 1 << 14))
+    return min(tile, max(total, 1))
 
 
 @partial(jax.jit, static_argnames=("opts", "n_cells"))
 def _render_tile(pack: ScenePack, cam, px, py, key, opts: RenderOptions,
                  n_cells: int):
     """One device tile: n_cells^2 stratified samples per pixel, Gaussian
-    weighted.  px/py are integer pixel coordinates as float arrays (R,)."""
+    weighted (sigma = 1/6, src/gaussian.h; weights on the jitter offsets,
+    main.cpp:79-100).  px/py are integer pixel coords as float arrays (R,).
+
+    The sample loop is a lax.scan so the integrator is traced exactly once
+    regardless of spp (an unrolled loop would inline one integrator copy per
+    sample and explode compile time).
+    """
     if n_cells <= 1:
         return trace_radiance(pack, cam, px, py, key, opts)
 
@@ -46,22 +72,24 @@ def _render_tile(pack: ScenePack, cam, px, py, key, opts: RenderOptions,
     inv_2s2 = 1.0 / (2.0 * sigma * sigma)
     c1 = 1.0 / (2.0 * jnp.pi * sigma * sigma)
 
-    acc = jnp.zeros((r, 3))
-    wacc = jnp.zeros(r)
-    s = 0
-    for row in range(n_cells):
-        for col in range(n_cells):
-            k_jit, k_trace = jax.random.split(jax.random.fold_in(key, s))
-            s += 1
-            psi = jax.random.uniform(k_jit, (r, 2))
-            sx = (col + psi[:, 0]) / n_cells
-            sy = (row + psi[:, 1]) / n_cells
-            colr = trace_radiance(pack, cam, px + sx, py + sy, k_trace, opts)
-            dx = sx - 0.5
-            dy = sy - 0.5
-            wgt = c1 * jnp.exp(-(dx * dx + dy * dy) * inv_2s2)
-            acc = acc + colr * wgt[:, None]
-            wacc = wacc + wgt
+    def sample(carry, s):
+        acc, wacc = carry
+        k_jit, k_trace = jax.random.split(jax.random.fold_in(key, s))
+        row = s // n_cells
+        col = s % n_cells
+        psi = jax.random.uniform(k_jit, (r, 2))
+        sx = (col + psi[:, 0]) / n_cells
+        sy = (row + psi[:, 1]) / n_cells
+        colr = trace_radiance(pack, cam, px + sx, py + sy, k_trace, opts)
+        dx = sx - 0.5
+        dy = sy - 0.5
+        wgt = c1 * jnp.exp(-(dx * dx + dy * dy) * inv_2s2)
+        return (acc + colr * wgt[:, None], wacc + wgt), None
+
+    (acc, wacc), _ = jax.lax.scan(
+        sample, (jnp.zeros((r, 3)), jnp.zeros(r)),
+        jnp.arange(n_cells * n_cells),
+    )
     return acc / wacc[:, None]
 
 
@@ -77,7 +105,7 @@ def options_for_camera(cfg: SceneConfig, cam_cfg: CameraCfg) -> RenderOptions:
 
 
 def render_camera(pack: ScenePack, cfg: SceneConfig, cam_cfg: CameraCfg,
-                  seed: int = 0, tile_size: int = DEFAULT_TILE,
+                  seed: int = 0, tile_size: int | None = None,
                   spp: int | None = None) -> np.ndarray:
     """Render one camera to a (H, W, 3) float32 radiance image."""
     cam = build_camera(cam_cfg)
@@ -85,6 +113,7 @@ def render_camera(pack: ScenePack, cfg: SceneConfig, cam_cfg: CameraCfg,
     w, h = cam_cfg.width, cam_cfg.height
     spp = cam_cfg.num_samples if spp is None else spp
     n_cells = max(int(math.isqrt(max(spp, 1))), 1)
+    tile_size = _auto_tile(w * h, opts, pack, tile_size)
 
     total = w * h
     ys, xs = np.divmod(np.arange(total, dtype=np.int64), w)

@@ -28,9 +28,48 @@ from advanced_cpu_raytracing_tpu.scene.pack import (
     SLOT_SPECULAR,
     ScenePack,
 )
+from advanced_cpu_raytracing_tpu.scene.types import DecalMode
 from advanced_cpu_raytracing_tpu.utils.math3d import cross, dot, normalize
 
 PI = jnp.float32(jnp.pi)
+
+
+class MaterialRows(NamedTuple):
+    """Per-lane material fields from one fused table gather."""
+
+    type: jnp.ndarray  # (R,)
+    ambient: jnp.ndarray  # (R,3)
+    diffuse: jnp.ndarray
+    specular: jnp.ndarray
+    mirror: jnp.ndarray
+    absorption: jnp.ndarray
+    radiance: jnp.ndarray
+    phong: jnp.ndarray  # (R,)
+    ior: jnp.ndarray
+    cond_k: jnp.ndarray
+    rough: jnp.ndarray
+    brdf: jnp.ndarray  # (R,) int
+
+
+def gather_materials(pack: "ScenePack", m) -> MaterialRows:
+    """One (M, 22) concat + one gather instead of 12 separate per-lane
+    gathers (gathers are serial-ish on TPU; the concat is tiny)."""
+    matf = jnp.concatenate([
+        pack.mat_ambient, pack.mat_diffuse, pack.mat_specular,
+        pack.mat_mirror, pack.mat_absorption, pack.mat_radiance,
+        pack.mat_phong[:, None], pack.mat_ior[:, None],
+        pack.mat_cond_k[:, None], pack.mat_roughness[:, None],
+        pack.mat_type.astype(jnp.float32)[:, None],
+        pack.mat_brdf.astype(jnp.float32)[:, None],
+    ], axis=1)
+    row = matf[m]  # (R, 24)
+    return MaterialRows(
+        type=row[:, 22].astype(jnp.int32),
+        ambient=row[:, 0:3], diffuse=row[:, 3:6], specular=row[:, 6:9],
+        mirror=row[:, 9:12], absorption=row[:, 12:15], radiance=row[:, 15:18],
+        phong=row[:, 18], ior=row[:, 19], cond_k=row[:, 20], rough=row[:, 21],
+        brdf=row[:, 23].astype(jnp.int32),
+    )
 
 
 class Surface(NamedTuple):
@@ -90,11 +129,6 @@ def _sphere_tangents(p_rel, radius, phi, theta):
         PI * p_rel[:, 1] * jnp.sin(phi),
     ], axis=-1)
     return normalize(tan, eps=1e-20), normalize(bitan, eps=1e-20)
-
-
-def _tex_field(pack: ScenePack, slot_idx, field):
-    """Gather a per-texture metadata field for (R,) slot indices (>=0)."""
-    return field[jnp.maximum(slot_idx, 0)]
 
 
 def _sample_tex_rgb(pack: ScenePack, tex_idx, uv):
@@ -223,7 +257,13 @@ def surface_at(pack: ScenePack, o, d, time, hit: Hit) -> Surface:
 
     # --- triangle branch ---
     n_obj_tri = pack.tri_normal[hit.face]
-    uv_tri, has_uv, uv012 = _gather_tri_uv(pack, hit.face, hit.beta, hit.gamma)
+    if st.has_uv or st.n_textures > 0:
+        uv_tri, has_uv, uv012 = _gather_tri_uv(pack, hit.face, hit.beta,
+                                               hit.gamma)
+    else:
+        # gathers elided at compile time for untextured scenes
+        uv_tri = jnp.zeros((r, 2))
+        uv012 = (uv_tri, uv_tri, uv_tri)
     nrm_ent = pack.ent_nrm[ent]
 
     # --- sphere branch: recompute local hit (sphere.cpp:66-92) ---
@@ -234,11 +274,17 @@ def surface_at(pack: ScenePack, o, d, time, hit: Hit) -> Surface:
         p_local = o_l + d_l * t_eff[:, None]
         p_rel = p_local - pack.sph_center[sph]
         radius = pack.sph_radius[sph]
-        phi = jnp.arctan2(p_rel[:, 2], p_rel[:, 0])
-        # clip strictly inside (-1, 1): arccos' gradient is infinite at the
-        # poles; the 1e-6 shift moves UV.v by < 5e-4 texel-normalized units
-        theta = jnp.arccos(jnp.clip(p_rel[:, 1] / radius, -0.999999, 0.999999))
-        uv_sph = jnp.stack([(-phi + PI) / (2 * PI), theta / PI], axis=-1)
+        if st.n_textures > 0:
+            phi = jnp.arctan2(p_rel[:, 2], p_rel[:, 0])
+            # clip strictly inside (-1, 1): arccos' gradient is infinite at
+            # the poles; the 1e-6 shift moves UV.v by < 5e-4 texel units
+            theta = jnp.arccos(
+                jnp.clip(p_rel[:, 1] / radius, -0.999999, 0.999999))
+            uv_sph = jnp.stack([(-phi + PI) / (2 * PI), theta / PI], axis=-1)
+        else:
+            phi = jnp.zeros(r)
+            theta = jnp.zeros(r)
+            uv_sph = jnp.zeros((r, 2))
         n_obj_sph = normalize(p_rel, eps=1e-20)
         nrm_sph = pack.sph_nrm[sph]
     else:
@@ -252,9 +298,15 @@ def surface_at(pack: ScenePack, o, d, time, hit: Hit) -> Surface:
 
     n_obj = jnp.where(is_tri[:, None], n_obj_tri, n_obj_sph)
     uv = jnp.where(is_tri[:, None], uv_tri, uv_sph)
-    tex = jnp.where(is_tri[:, None], pack.ent_tex[ent], pack.sph_tex[sph])
+    if st.n_textures > 0:
+        tex = jnp.where(is_tri[:, None], pack.ent_tex[ent], pack.sph_tex[sph])
+    else:
+        tex = jnp.full((r, 5), -1, jnp.int32)
     mat = jnp.where(is_tri, pack.ent_material[ent], pack.sph_material[sph])
-    mlight = jnp.where(is_tri, pack.ent_mlight[ent], -1)
+    if st.n_mesh_lights > 0:
+        mlight = jnp.where(is_tri, pack.ent_mlight[ent], -1)
+    else:
+        mlight = jnp.full(r, -1, jnp.int32)
 
     if st.n_textures > 0:
         n_obj = _apply_bump_normal_maps(
@@ -269,10 +321,10 @@ def surface_at(pack: ScenePack, o, d, time, hit: Hit) -> Surface:
                    mlight=mlight, valid=hit.valid)
 
 
-def diffuse_reflectance(pack: ScenePack, surf: Surface):
+def diffuse_reflectance(pack: ScenePack, surf: Surface, base=None):
     """kd with texture modulation (GetDiffuseReflectanceCoeff,
     src/raytracer.cpp:478-508)."""
-    kd = pack.mat_diffuse[surf.mat]
+    kd = pack.mat_diffuse[surf.mat] if base is None else base
     if pack.static.n_textures == 0:
         return kd
     slot = surf.tex[:, SLOT_DIFFUSE]
@@ -282,14 +334,12 @@ def diffuse_reflectance(pack: ScenePack, surf: Surface):
     perlin = _sample_tex_world(pack, slot, surf.point)[:, None].repeat(3, -1)
     image = _sample_tex_rgb(pack, slot, surf.uv) / 255.0
     tex_kd = jnp.where(is_perlin[:, None], perlin, image)
-    from advanced_cpu_raytracing_tpu.scene.types import DecalMode
-
     is_blend = pack.tex_decal[ti] == int(DecalMode.BLEND_KD)
     modulated = jnp.where(is_blend[:, None], (tex_kd + kd) / 2.0, tex_kd)
     return jnp.where(has[:, None], modulated, kd)
 
 
-def specular_reflectance(pack: ScenePack, surf: Surface):
+def specular_reflectance(pack: ScenePack, surf: Surface, base=None):
     """ks with texture modulation.
 
     The reference's GetSpecularReflectanceCoeff (src/raytracer.cpp:509-539)
@@ -298,7 +348,7 @@ def specular_reflectance(pack: ScenePack, surf: Surface):
     texture exists.  We sample the specular texture and blend against
     mat.specular (the evident intent).
     """
-    ks = pack.mat_specular[surf.mat]
+    ks = pack.mat_specular[surf.mat] if base is None else base
     if pack.static.n_textures == 0:
         return ks
     slot = surf.tex[:, SLOT_SPECULAR]
@@ -308,43 +358,50 @@ def specular_reflectance(pack: ScenePack, surf: Surface):
     perlin = _sample_tex_world(pack, slot, surf.point)[:, None].repeat(3, -1)
     image = _sample_tex_rgb(pack, slot, surf.uv) / 255.0
     tex_ks = jnp.where(is_perlin[:, None], perlin, image)
-    is_blend = pack.tex_decal[ti] == int(DecalModeBlend())
+    is_blend = pack.tex_decal[ti] == int(DecalMode.BLEND_KD)
     modulated = jnp.where(is_blend[:, None], (tex_ks + ks) / 2.0, tex_ks)
     return jnp.where(has[:, None], modulated, ks)
 
 
-def DecalModeBlend():
-    from advanced_cpu_raytracing_tpu.scene.types import DecalMode
-
-    return int(DecalMode.BLEND_KD)
-
-
-def shade(pack: ScenePack, surf: Surface, w_i, w_o, irradiance):
+def shade(pack: ScenePack, surf: Surface, w_i, w_o, irradiance,
+          kd=None, ks=None, mat_rows: MaterialRows | None = None):
     """Raytracer::Shade (src/raytracer.cpp:192-206): BRDF override if the
-    material has one, else default diffuse + specular."""
+    material has one, else default diffuse + specular.
+
+    ``kd``/``ks``/``mat_rows`` may be precomputed by the caller (texture
+    sampling and material gathers are w_i-independent, so per-light
+    recomputation is waste).
+    """
     st = pack.static
-    kd = diffuse_reflectance(pack, surf)
-    ks = specular_reflectance(pack, surf)
+    if kd is None:
+        kd = diffuse_reflectance(
+            pack, surf, None if mat_rows is None else mat_rows.diffuse)
+    if ks is None:
+        ks = specular_reflectance(
+            pack, surf, None if mat_rows is None else mat_rows.specular)
+    phong = pack.mat_phong[surf.mat] if mat_rows is None else mat_rows.phong
     n = surf.normal
     base = default_diffuse(kd, w_i, n, irradiance) + default_specular(
-        ks, pack.mat_phong[surf.mat], w_i, w_o, n, irradiance
+        ks, phong, w_i, w_o, n, irradiance
     )
     if st.n_brdfs == 0:
         return base
-    bidx = pack.mat_brdf[surf.mat]
+    bidx = pack.mat_brdf[surf.mat] if mat_rows is None else mat_rows.brdf
+    ior = pack.mat_ior[surf.mat] if mat_rows is None else mat_rows.ior
     has_brdf = bidx >= 0
     bi = jnp.maximum(bidx, 0)
     val = eval_brdf(
         pack.brdf_kind[bi], pack.brdf_exponent[bi], pack.brdf_normalized[bi],
-        pack.brdf_kdfresnel[bi], pack.mat_ior[surf.mat], kd, ks, w_i, w_o, n,
+        pack.brdf_kdfresnel[bi], ior, kd, ks, w_i, w_o, n,
     )
     cos_i = jnp.maximum(0.0, dot(w_i, n))
     brdf_col = val * irradiance * cos_i[:, None]
     return jnp.where(has_brdf[:, None], brdf_col, base)
 
 
-def shade_weight(pack: ScenePack, surf: Surface, w_i, w_o):
+def shade_weight(pack: ScenePack, surf: Surface, w_i, w_o, mat_rows=None):
     """Shade with unit irradiance — the path weight used for GI bounces
     (raytracer.cpp:188 applies Shade(..., Li) * 2pi; the Li factor is the
     child's radiance, so the weight is Shade with Li = 1)."""
-    return shade(pack, surf, w_i, w_o, jnp.ones_like(w_i))
+    return shade(pack, surf, w_i, w_o, jnp.ones_like(w_i),
+                 mat_rows=mat_rows)

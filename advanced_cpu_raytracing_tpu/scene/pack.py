@@ -18,7 +18,7 @@ Mapping to the reference:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import jax.numpy as jnp
@@ -69,6 +69,11 @@ class StaticInfo:
     has_motion: bool
     has_uv: bool
     bg_tex: int  # dense texture index of replace_background texture, or -1
+    # material classes present — static gates that elide whole integrator
+    # branches (and shrink the per-lane stack) at compile time
+    has_mirror: bool = True
+    has_dielectric: bool = True
+    has_conductor: bool = True
 
     @property
     def has_env(self) -> bool:
@@ -118,6 +123,12 @@ class ScenePack:
     wi_v1: jnp.ndarray
     wi_v2: jnp.ndarray
     wi_motion: jnp.ndarray  # (W,3) world-space motion offset direction
+    # shadow-query variant: emissive (light-mesh) entities excluded
+    # (CastShadowRay skips them, src/raytracer.cpp:590-593)
+    ws_v0: jnp.ndarray  # (Ws,3)
+    ws_v1: jnp.ndarray
+    ws_v2: jnp.ndarray
+    ws_motion: jnp.ndarray
 
     # spheres
     sph_center: jnp.ndarray  # (S,3)
@@ -662,6 +673,17 @@ def pack_scene(cfg: SceneConfig) -> ScenePack:
         wi_v0 = wi_v1 = wi_v2 = np.zeros((1, 3), np.float32)
         wi_motion = np.zeros((1, 3), np.float32)
 
+    emissive_flags = np.array([bool(r["emissive"]) for r in ent_rows], bool)
+    shadow_keep = (~emissive_flags[wi_ent]) if len(ent_rows) else np.zeros(1, bool)
+    if shadow_keep.any():
+        ws_v0 = wi_v0[shadow_keep]
+        ws_v1 = wi_v1[shadow_keep]
+        ws_v2 = wi_v2[shadow_keep]
+        ws_motion = wi_motion[shadow_keep]
+    else:
+        ws_v0 = ws_v1 = ws_v2 = np.zeros((1, 3), np.float32)
+        ws_motion = np.zeros((1, 3), np.float32)
+
     static = StaticInfo(
         n_entities=len(ent_rows), n_spheres=len(cfg.spheres), n_faces=f_total,
         n_nodes=n_total, n_materials=len(mats), n_brdfs=len(cfg.brdfs),
@@ -672,6 +694,9 @@ def pack_scene(cfg: SceneConfig) -> ScenePack:
         max_recursion_depth=cfg.max_recursion_depth,
         use_bvh=use_bvh, bvh_max_depth=bvh_max_depth,
         has_motion=has_motion, has_uv=has_uv, bg_tex=bg_tex,
+        has_mirror=bool((mat_type == int(MaterialType.MIRROR)).any()),
+        has_dielectric=bool((mat_type == int(MaterialType.DIELECTRIC)).any()),
+        has_conductor=bool((mat_type == int(MaterialType.CONDUCTOR)).any()),
     )
 
     return ScenePack(
@@ -691,6 +716,8 @@ def pack_scene(cfg: SceneConfig) -> ScenePack:
         wi_ent=_i32(wi_ent), wi_face=_i32(wi_face),
         wi_v0=_f32(wi_v0), wi_v1=_f32(wi_v1), wi_v2=_f32(wi_v2),
         wi_motion=_f32(wi_motion),
+        ws_v0=_f32(ws_v0), ws_v1=_f32(ws_v1), ws_v2=_f32(ws_v2),
+        ws_motion=_f32(ws_motion),
         sph_center=_f32(sph_center), sph_radius=_f32(sph_radius),
         sph_minv=_f32(sph_minv), sph_nrm=_f32(sph_nrm),
         sph_motion=_f32(sph_motion), sph_material=_i32(sph_material),
