@@ -38,6 +38,7 @@ def main(argv=None) -> int:
     if not os.path.exists(args.scene):
         print(f"error: scene file not found: {args.scene}", file=sys.stderr)
         return 1
+    os.makedirs(args.out_dir, exist_ok=True)
     cfg = load_scene(args.scene)
     start = time.perf_counter()
     pack = pack_scene(cfg)

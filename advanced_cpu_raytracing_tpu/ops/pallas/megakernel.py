@@ -1,0 +1,718 @@
+"""Fused TPU wavefront integrator: the ENTIRE Whitted shading tree in one
+Pallas kernel.
+
+Motivation (measured on TPU v5e): the jnp wavefront loop pays ~33 ms of HBM
+round-trips + gather kernels per bounce iteration at 640k lanes, because every
+stage (trace, surface reconstruction, material gather, per-light occlusion,
+stack push/pop) is a separate XLA kernel writing (R,...) arrays back to HBM.
+This kernel keeps everything on-chip instead:
+
+  * grid over (8, 128) ray blocks — one block = 1024 pixels resident in
+    registers/VMEM for its whole life;
+  * the scene is VMEM-resident: triangles as one SoA table (world-space
+    vertices + world shading normal + material id, <= 16384 faces = 1 MiB),
+    spheres / materials / lights / bg / epsilon baked in as scalar constants
+    (the kernel is specialized per scene — scenes are static per render);
+  * the recursive shading tree (PerformShading, reference
+    src/raytracer.cpp:65-134) runs as a per-block `lax.while_loop`: each lane
+    carries its current ray; dielectric splits (raytracer.cpp:261-415) push
+    the refraction leg onto a K-slot one-hot stack in the loop carry while the
+    reflection leg continues in-register.  Blocks whose 1024 lanes all
+    terminate exit the loop early — block-granular ray compaction for free;
+  * direct lighting (SampleDirectLighting, raytracer.cpp:701-806) runs
+    in-kernel per light with a dedicated occlusion sweep over the same VMEM
+    tables (IsInShadow, raytracer.cpp:567-583).
+
+Eligibility is static per scene (see `mega_eligible`): Whitted scenes with
+point/directional lights and untextured default/mirror/conductor/dielectric
+materials — which covers every committed reference golden scene.  Everything
+else (textures, PT, area/spot/env/mesh lights, motion blur, roughness, AD)
+falls back to the jnp wavefront in render/integrator.py.
+
+Semantics are a transcription of render/integrator.py (same reference quirks:
+2pi emissive factor, shadow epsilon offsets along the shading normal, the
+dielectric medium bookkeeping of raytracer.cpp:261-415, conductor Fresnel of
+raytracer.cpp:208-254) — the two paths are cross-checked by
+tests/test_megakernel.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from advanced_cpu_raytracing_tpu.scene.types import MaterialType
+
+ROWS, LANES = 8, 128
+TILE = ROWS * LANES
+BIG = 3.0e37  # sentinel "no hit" distance (plain float: jnp scalars would be
+# captured consts in pallas)
+
+_MIRROR = int(MaterialType.MIRROR)
+_DIELECTRIC = int(MaterialType.DIELECTRIC)
+_CONDUCTOR = int(MaterialType.CONDUCTOR)
+
+
+@dataclass(frozen=True)
+class MegaConsts:
+    """Scene constants baked into the kernel (hashable => one jit per scene)."""
+
+    n_tri: int
+    # per sphere: (minv 12 floats row-major 3x4, nrm 9 floats row-major 3x3,
+    #              center 3, radius, mat_index)
+    spheres: tuple
+    # per material: (type, ambient3, diffuse3, specular3, mirror3, phong,
+    #                ior, cond_k, absorb3)
+    materials: tuple
+    point_lights: tuple  # of (pos3, intensity3)
+    dir_lights: tuple  # of (unit_to_light3, radiance3)
+    ambient: tuple  # (3,)
+    bg: tuple  # (3,)
+    eps: float  # shadow_ray_epsilon
+    max_depth: int
+    has_mirror: bool
+    has_dielectric: bool
+    has_conductor: bool
+    stack_k: int
+    max_iters: int
+
+
+def mega_eligible(static, opts) -> bool:
+    """Static feature gate for the fused kernel (see module docstring)."""
+    return (
+        not opts.path_tracing
+        and not opts.differentiable
+        # all triangle geometry must fit the VMEM work-item table (sphere-only
+        # scenes qualify with an empty one)
+        and (static.n_faces == 0 or static.n_work_items > 0)
+        and (static.n_work_items > 0 or static.n_spheres > 0)
+        and static.n_textures == 0
+        and static.n_brdfs == 0
+        and static.n_env == 0
+        and static.n_area == 0
+        and static.n_spot == 0
+        and static.n_mesh_lights == 0
+        and not static.has_motion
+        and not static.has_rough
+        and not static.has_emissive_mat
+        and static.n_spheres <= 8
+        and static.n_materials <= 12
+        and opts.max_depth <= 10
+    )
+
+
+def build_mega(pack, max_depth: int):
+    """Extract (MegaConsts, tri_table) from a ScenePack.
+
+    tri_table is (Tpad, 16) f32: v0(0:3) v1(3:6) v2(6:9) n_world(9:12)
+    mat(12) pad(13:16).
+    """
+    st = pack.static
+    w = st.n_work_items
+    tab = np.zeros((max(w, 1), 16), np.float32)
+    if w:
+        tab[:, 0:3] = np.asarray(pack.wi_v0)[:w]
+        tab[:, 3:6] = np.asarray(pack.wi_v1)[:w]
+        tab[:, 6:9] = np.asarray(pack.wi_v2)[:w]
+        tab[:, 9:12] = np.asarray(pack.wi_normal)[:w]
+        tab[:, 12] = np.asarray(pack.wi_mat)[:w].astype(np.float32)
+
+    def tup(a):
+        return tuple(float(x) for x in np.asarray(a).reshape(-1))
+
+    spheres = []
+    for i in range(st.n_spheres):
+        spheres.append((
+            tup(np.asarray(pack.sph_minv)[i]),
+            tup(np.asarray(pack.sph_nrm)[i]),
+            tup(np.asarray(pack.sph_center)[i]),
+            float(np.asarray(pack.sph_radius)[i]),
+            int(np.asarray(pack.sph_material)[i]),
+        ))
+
+    materials = []
+    for i in range(st.n_materials):
+        materials.append((
+            int(np.asarray(pack.mat_type)[i]),
+            tup(np.asarray(pack.mat_ambient)[i]),
+            tup(np.asarray(pack.mat_diffuse)[i]),
+            tup(np.asarray(pack.mat_specular)[i]),
+            tup(np.asarray(pack.mat_mirror)[i]),
+            float(np.asarray(pack.mat_phong)[i]),
+            float(np.asarray(pack.mat_ior)[i]),
+            float(np.asarray(pack.mat_cond_k)[i]),
+            tup(np.asarray(pack.mat_absorption)[i]),
+        ))
+
+    plights = tuple(
+        (tup(np.asarray(pack.pl_pos)[i]), tup(np.asarray(pack.pl_intensity)[i]))
+        for i in range(st.n_point)
+    )
+    dlights = []
+    for i in range(st.n_directional):
+        d = np.asarray(pack.dl_dir)[i].astype(np.float64)
+        d = -d / max(np.linalg.norm(d), 1e-30)  # unit vector TOWARD the light
+        dlights.append((tup(d), tup(np.asarray(pack.dl_radiance)[i])))
+
+    if st.has_dielectric:
+        max_iters = min(2 ** (max_depth + 1), 4096) + 4
+        stack_k = max_depth + 2
+    else:
+        max_iters = max_depth + 2
+        stack_k = 0
+
+    mc = MegaConsts(
+        n_tri=w,
+        spheres=tuple(spheres),
+        materials=tuple(materials),
+        point_lights=plights,
+        dir_lights=tuple(dlights),
+        ambient=tup(pack.ambient_light),
+        bg=tup(pack.bg_color),
+        eps=float(np.asarray(pack.shadow_eps)),
+        max_depth=int(max_depth),
+        has_mirror=st.has_mirror,
+        has_dielectric=st.has_dielectric,
+        has_conductor=st.has_conductor,
+        stack_k=stack_k,
+        max_iters=max_iters,
+    )
+    return mc, jnp.asarray(tab)
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+
+def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
+            lx_ref, ly_ref, lz_ref, *, mc: MegaConsts):
+    shape = (ROWS, LANES)
+    ZERO = jnp.zeros(shape, jnp.float32)
+    ONE = jnp.ones(shape, jnp.float32)
+    FALSE = jnp.zeros(shape, jnp.bool_)
+
+    def norm3(x, y, z):
+        inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-20))
+        return x * inv, y * inv, z * inv
+
+    def powmax(base, e):
+        """pow with base clamped > 0 and C-style pow(0, 0) = 1
+        (matches ops/brdf.py::_powmax)."""
+        pos = base > 0.0
+        safe = jnp.where(pos, base, 1.0)
+        val = jnp.exp(e * jnp.log(safe))
+        return jnp.where(pos, val, jnp.where(e == 0.0, 1.0, 0.0))
+
+    def sphere_local(s, px, py, pz, vx, vy, vz, is_point):
+        """Apply sphere s's packed world->object transform."""
+        m = s[0]
+        t = 1.0 if is_point else 0.0
+        lx = m[0] * px + m[1] * py + m[2] * pz + m[3] * t
+        ly = m[4] * px + m[5] * py + m[6] * pz + m[7] * t
+        lz = m[8] * px + m[9] * py + m[10] * pz + m[11] * t
+        return lx, ly, lz
+
+    def tri_hit(ti, px, py, pz, vx, vy, vz):
+        """Cramer's-rule triangle test for triangle `ti` against the block
+        (Mesh::IntersectFace semantics, src/mesh.cpp:201-236).
+        Returns (t, valid)."""
+        v0x = tri_ref[ti, 0]
+        v0y = tri_ref[ti, 1]
+        v0z = tri_ref[ti, 2]
+        e1x = v0x - tri_ref[ti, 3]
+        e1y = v0y - tri_ref[ti, 4]
+        e1z = v0z - tri_ref[ti, 5]
+        e2x = v0x - tri_ref[ti, 6]
+        e2y = v0y - tri_ref[ti, 7]
+        e2z = v0z - tri_ref[ti, 8]
+        bx = v0x - px
+        by = v0y - py
+        bz = v0z - pz
+        m0 = e2y * vz - vy * e2z
+        m1 = e2x * vz - vx * e2z
+        m2 = e2x * vy - vx * e2y
+        det_a = e1x * m0 - e1y * m1 + e1z * m2
+        safe = jnp.where(det_a == 0.0, 1.0, det_a)
+        beta = (bx * m0 - by * m1 + bz * m2) / safe
+        n0 = by * vz - vy * bz
+        n1 = bx * vz - vx * bz
+        n2 = bx * vy - vx * by
+        gamma = (e1x * n0 - e1y * n1 + e1z * n2) / safe
+        q0 = e2y * bz - by * e2z
+        q1 = e2x * bz - bx * e2z
+        q2 = e2x * by - bx * e2y
+        t = (e1x * q0 - e1y * q1 + e1z * q2) / safe
+        valid = (
+            (det_a != 0.0) & (beta >= 0.0) & (gamma >= 0.0)
+            & (beta + gamma <= 1.0) & (t > 0.0)
+        )
+        return t, valid
+
+    def sphere_hit(s, px, py, pz, vx, vy, vz):
+        """Quadratic sphere test (Sphere::Intersect, src/sphere.cpp:31-72).
+        Returns (t, valid, world-normal xyz, unnormalized)."""
+        olx, oly, olz = sphere_local(s, px, py, pz, vx, vy, vz, True)
+        dlx, dly, dlz = sphere_local(s, vx, vy, vz, vx, vy, vz, False)
+        c = s[2]
+        rad = s[3]
+        ocx, ocy, ocz = olx - c[0], oly - c[1], olz - c[2]
+        a = dlx * dlx + dly * dly + dlz * dlz
+        b = 2.0 * (dlx * ocx + dly * ocy + dlz * ocz)
+        cc = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+        delta = b * b - 4.0 * a * cc
+        sq = jnp.sqrt(jnp.maximum(delta, 0.0))
+        denom = jnp.where(a > 0.0, 2.0 * a, 1.0)
+        t1 = (-b + sq) / denom
+        t2 = (-b - sq) / denom
+        lo = jnp.minimum(t1, t2)
+        hi = jnp.maximum(t1, t2)
+        t = jnp.where(lo > 0.0, lo, hi)
+        valid = (delta >= 0.0) & (t > 0.0) & (a > 0.0)
+        # object-space normal direction, then M^-T (sphere.cpp:66-80)
+        prx = ocx + t * dlx
+        pry = ocy + t * dly
+        prz = ocz + t * dlz
+        nm = s[1]
+        nwx = nm[0] * prx + nm[1] * pry + nm[2] * prz
+        nwy = nm[3] * prx + nm[4] * pry + nm[5] * prz
+        nwz = nm[6] * prx + nm[7] * pry + nm[8] * prz
+        return t, valid, nwx, nwy, nwz
+
+    def trace(px, py, pz, vx, vy, vz):
+        """Closest hit over all VMEM triangles + const spheres.
+        Returns (t, nx, ny, nz (unit), matf, hit)."""
+        init = (jnp.full(shape, BIG), ZERO, ZERO, ONE, ZERO)
+
+        def body(ti, carry):
+            t_b, nx, ny, nz, mf = carry
+            t, valid = tri_hit(ti, px, py, pz, vx, vy, vz)
+            better = valid & (t < t_b)
+            return (
+                jnp.where(better, t, t_b),
+                jnp.where(better, tri_ref[ti, 9], nx),
+                jnp.where(better, tri_ref[ti, 10], ny),
+                jnp.where(better, tri_ref[ti, 11], nz),
+                jnp.where(better, tri_ref[ti, 12], mf),
+            )
+
+        if mc.n_tri > 0:
+            init = jax.lax.fori_loop(0, mc.n_tri, body, init)
+        t_b, nx, ny, nz, mf = init
+        for s in mc.spheres:
+            t, valid, nwx, nwy, nwz = sphere_hit(s, px, py, pz, vx, vy, vz)
+            better = valid & (t < t_b)
+            t_b = jnp.where(better, t, t_b)
+            nx = jnp.where(better, nwx, nx)
+            ny = jnp.where(better, nwy, ny)
+            nz = jnp.where(better, nwz, nz)
+            mf = jnp.where(better, float(s[4]), mf)
+        hit = t_b < (BIG * 0.5)
+        nx, ny, nz = norm3(nx, ny, nz)
+        return t_b, nx, ny, nz, mf, hit
+
+    def shadow(px, py, pz, vx, vy, vz, limit):
+        """Occlusion along unit direction v up to `limit`
+        (IsInShadow, src/raytracer.cpp:567-583).
+
+        The carry is f32, not bool: Mosaic miscompiles (8,128) i1 vectors as
+        loop carries (packed-mask layout mismatch)."""
+        def body(ti, blocked):
+            t, valid = tri_hit(ti, px, py, pz, vx, vy, vz)
+            return jnp.maximum(
+                blocked, jnp.where(valid & (t < limit), 1.0, 0.0))
+
+        blocked = ZERO
+        if mc.n_tri > 0:
+            blocked = jax.lax.fori_loop(0, mc.n_tri, body, blocked)
+        out = blocked > 0.5
+        for s in mc.spheres:
+            t, valid, _, _, _ = sphere_hit(s, px, py, pz, vx, vy, vz)
+            out = out | (valid & (t < limit))
+        return out
+
+    def mat_mask(matf, mtype):
+        m = FALSE
+        for i, mat in enumerate(mc.materials):
+            if mat[0] == mtype:
+                m = m | (matf == float(i))
+        return m
+
+    def mat_field(matf, getter):
+        """Unrolled masked select of a scalar material field."""
+        out = jnp.full(shape, getter(mc.materials[0]))
+        for i, mat in enumerate(mc.materials[1:], start=1):
+            out = jnp.where(matf == float(i), getter(mat), out)
+        return out
+
+    def mat_field3(matf, getter):
+        return tuple(
+            mat_field(matf, lambda m, k=k: getter(m)[k]) for k in range(3)
+        )
+
+    # ---- primary rays of this block ----
+    ox = ox_ref[:, :]
+    oy = oy_ref[:, :]
+    oz = oz_ref[:, :]
+    dx = dx_ref[:, :]
+    dy = dy_ref[:, :]
+    dz = dz_ref[:, :]
+
+    eps = mc.eps
+    diel = mc.has_dielectric
+    any_spec = (mc.has_mirror or mc.has_conductor or diel) and mc.max_depth > 0
+    k_slots = mc.stack_k
+    depth0 = jnp.full(shape, mc.max_depth, jnp.int32)
+
+    # while-carry layout (all (8,128) unless noted):
+    #   it scalar | L xyz | cur o xyz, d xyz, w xyz, absorb xyz, medium,
+    #   depth i32, active (f32 mask: Mosaic miscompiles i1 loop carries) |
+    #   sp i32 + stack fields (K,8,128) x 14 (diel only)
+    carry = [jnp.int32(0), ZERO, ZERO, ZERO,
+             ox, oy, oz, dx, dy, dz, ONE, ONE, ONE,
+             ZERO, ZERO, ZERO, ONE, depth0, ONE]
+    if diel:
+        kz = jnp.zeros((k_slots,) + shape, jnp.float32)
+        ki = jnp.zeros((k_slots,) + shape, jnp.int32)
+        carry += [jnp.zeros(shape, jnp.int32)] + [kz] * 13 + [ki]
+
+    def cond_fn(c):
+        return (c[0] < mc.max_iters) & jnp.any(c[18] > 0.5)
+
+    def body_fn(c):
+        (it, lr, lg, lb,
+         cox, coy, coz, cdx, cdy, cdz, cwx, cwy, cwz,
+         cax, cay, caz, cmed, cdep, cact_f) = c[:19]
+        cact = cact_f > 0.5
+        if diel:
+            (sp, s_ox, s_oy, s_oz, s_dx, s_dy, s_dz, s_wx, s_wy, s_wz,
+             s_ax, s_ay, s_az, s_med, s_dep) = c[19:]
+
+        t, nx, ny, nz, matf, hitv = trace(cox, coy, coz, cdx, cdy, cdz)
+        hit = hitv & cact
+        t_safe = jnp.where(hit, t, 0.0)
+
+        # Beer attenuation of the popped segment (raytracer.cpp:416-423)
+        if diel:
+            cwx = cwx * jnp.exp(-cax * t_safe)
+            cwy = cwy * jnp.exp(-cay * t_safe)
+            cwz = cwz * jnp.exp(-caz * t_safe)
+
+        # primary miss -> background (raytracer.cpp:49-62); secondary miss
+        # contributes nothing (no env light in eligible scenes)
+        missp = cact & (~hitv) & (it == 0)
+        lr = lr + jnp.where(missp, cwx * mc.bg[0], 0.0)
+        lg = lg + jnp.where(missp, cwy * mc.bg[1], 0.0)
+        lb = lb + jnp.where(missp, cwz * mc.bg[2], 0.0)
+
+        # hit point & view direction
+        px = cox + t_safe * cdx
+        py = coy + t_safe * cdy
+        pz = coz + t_safe * cdz
+        wox, woy, woz = -cdx, -cdy, -cdz
+
+        inside = (cmed > 1.00001) if diel else FALSE
+        lit = hit & (~inside)
+
+        # ambient (raytracer.cpp:98-100)
+        ambx, amby, ambz = mat_field3(matf, lambda m: m[1])
+        lr = lr + jnp.where(lit, cwx * (mc.ambient[0] * ambx), 0.0)
+        lg = lg + jnp.where(lit, cwy * (mc.ambient[1] * amby), 0.0)
+        lb = lb + jnp.where(lit, cwz * (mc.ambient[2] * ambz), 0.0)
+
+        kdx, kdy, kdz = mat_field3(matf, lambda m: m[2])
+        ksx, ksy, ksz = mat_field3(matf, lambda m: m[3])
+        phong = mat_field(matf, lambda m: m[5])
+
+        sox = px + nx * eps
+        soy = py + ny * eps
+        soz = pz + nz * eps
+
+        def add_light(lr, lg, lb, wix, wiy, wiz, irr_x, irr_y, irr_z, blocked):
+            cos_t = jnp.maximum(0.0, wix * nx + wiy * ny + wiz * nz)
+            hx, hy, hz = norm3(wix + wox, wiy + woy, wiz + woz)
+            cos_h = jnp.maximum(0.0, hx * nx + hy * ny + hz * nz)
+            spec = powmax(cos_h, phong)
+            gate = lit & (~blocked)
+            lr = lr + jnp.where(gate, cwx * irr_x * (kdx * cos_t + ksx * spec), 0.0)
+            lg = lg + jnp.where(gate, cwy * irr_y * (kdy * cos_t + ksy * spec), 0.0)
+            lb = lb + jnp.where(gate, cwz * irr_z * (kdz * cos_t + ksz * spec), 0.0)
+            return lr, lg, lb
+
+        for lp, li in mc.point_lights:
+            tlx = lp[0] - px
+            tly = lp[1] - py
+            tlz = lp[2] - pz
+            d2 = jnp.maximum(tlx * tlx + tly * tly + tlz * tlz, 1e-20)
+            dist = jnp.sqrt(d2)
+            inv = 1.0 / dist
+            wix, wiy, wiz = tlx * inv, tly * inv, tlz * inv
+            blocked = shadow(sox, soy, soz, wix, wiy, wiz, dist)
+            lr, lg, lb = add_light(
+                lr, lg, lb, wix, wiy, wiz,
+                li[0] / d2, li[1] / d2, li[2] / d2, blocked)
+
+        for ld, lrad in mc.dir_lights:
+            wix = jnp.full(shape, ld[0])
+            wiy = jnp.full(shape, ld[1])
+            wiz = jnp.full(shape, ld[2])
+            blocked = shadow(sox, soy, soz, wix, wiy, wiz,
+                             jnp.full(shape, BIG))
+            lr, lg, lb = add_light(
+                lr, lg, lb, wix, wiy, wiz,
+                jnp.full(shape, lrad[0]), jnp.full(shape, lrad[1]),
+                jnp.full(shape, lrad[2]), blocked)
+
+        # ---- children (reflection continues in-register; refraction pushes) --
+        new_act = FALSE
+        nox, noy, noz = px, py, pz
+        ndx, ndy, ndz = wox, woy, woz
+        nwx, nwy, nwz = cwx, cwy, cwz
+        nax, nay, naz = ZERO, ZERO, ZERO
+        nmed = ONE
+
+        if any_spec:
+            can = cdep > 0
+            ndotwo = nx * wox + ny * woy + nz * woz
+            rx, ry, rz = norm3(
+                2.0 * nx * ndotwo - wox,
+                2.0 * ny * ndotwo - woy,
+                2.0 * nz * ndotwo - woz,
+            )
+
+            if mc.has_mirror:
+                mirx, miry, mirz = mat_field3(matf, lambda m: m[4])
+                mm = hit & mat_mask(matf, _MIRROR) & can
+                new_act = new_act | mm
+                nox = jnp.where(mm, px + nx * eps, nox)
+                noy = jnp.where(mm, py + ny * eps, noy)
+                noz = jnp.where(mm, pz + nz * eps, noz)
+                ndx = jnp.where(mm, rx, ndx)
+                ndy = jnp.where(mm, ry, ndy)
+                ndz = jnp.where(mm, rz, ndz)
+                nwx = jnp.where(mm, cwx * mirx, nwx)
+                nwy = jnp.where(mm, cwy * miry, nwy)
+                nwz = jnp.where(mm, cwz * mirz, nwz)
+
+            if mc.has_conductor:
+                # conductor Fresnel (raytracer.cpp:208-254)
+                mirx, miry, mirz = mat_field3(matf, lambda m: m[4])
+                n2 = mat_field(matf, lambda m: m[6])
+                k2 = mat_field(matf, lambda m: m[7])
+                cos_t = ndotwo
+                n2k2 = n2 * n2 + k2 * k2
+                two = 2.0 * n2 * cos_t
+                cos2 = cos_t * cos_t
+                rs = (n2k2 - two + cos2) / jnp.maximum(n2k2 + two + cos2, 1e-20)
+                rp = (n2k2 * cos2 - two + 1.0) / jnp.maximum(
+                    n2k2 * cos2 + two + 1.0, 1e-20)
+                ratio = 0.5 * (rs + rp)
+                cm = hit & mat_mask(matf, _CONDUCTOR) & can & (ratio > 1e-4)
+                new_act = new_act | cm
+                nox = jnp.where(cm, px + nx * eps, nox)
+                noy = jnp.where(cm, py + ny * eps, noy)
+                noz = jnp.where(cm, pz + nz * eps, noz)
+                ndx = jnp.where(cm, rx, ndx)
+                ndy = jnp.where(cm, ry, ndy)
+                ndz = jnp.where(cm, rz, ndz)
+                nwx = jnp.where(cm, cwx * mirx * ratio, nwx)
+                nwy = jnp.where(cm, cwy * miry * ratio, nwy)
+                nwz = jnp.where(cm, cwz * mirz * ratio, nwz)
+
+            if diel:
+                # dielectric Fresnel split (raytracer.cpp:261-415), matching
+                # render/integrator.py::_process_hit exactly
+                is_diel = mat_mask(matf, _DIELECTRIC)
+                ior = mat_field(matf, lambda m: m[6])
+                abx, aby, abz = mat_field3(matf, lambda m: m[8])
+                cos0 = -(cdx * nx + cdy * ny + cdz * nz)
+                entering = cos0 > 0.0
+                sgn = jnp.where(entering, 1.0, -1.0)
+                nmx, nmy, nmz = nx * sgn, ny * sgn, nz * sgn
+                cos_i = jnp.abs(cos0)
+                n1 = jnp.where(entering, cmed, ior)
+                n2d = jnp.where(entering, ior, 1.0)
+                obj_n = jnp.where(entering, ior, 1.0)
+                ratio_n = n1 / jnp.maximum(n2d, 1e-20)
+                sin2 = 1.0 - cos_i * cos_i
+                crit = ratio_n * ratio_n * sin2
+                tir = crit > 1.0
+                # reflect about the oriented normal
+                ndw = nmx * wox + nmy * woy + nmz * woz
+                rdx, rdy, rdz = norm3(
+                    2.0 * nmx * ndw - wox,
+                    2.0 * nmy * ndw - woy,
+                    2.0 * nmz * ndw - woz,
+                )
+
+                # TIR: reflect only, weight 1, medium kept (292-311)
+                is_tir = hit & is_diel & tir & can
+                new_act = new_act | is_tir
+                tin = is_tir & (cmed > 1.0001)
+                nox = jnp.where(is_tir, px + nmx * eps, nox)
+                noy = jnp.where(is_tir, py + nmy * eps, noy)
+                noz = jnp.where(is_tir, pz + nmz * eps, noz)
+                ndx = jnp.where(is_tir, rdx, ndx)
+                ndy = jnp.where(is_tir, rdy, ndy)
+                ndz = jnp.where(is_tir, rdz, ndz)
+                nax = jnp.where(tin, abx, nax)
+                nay = jnp.where(tin, aby, nay)
+                naz = jnp.where(tin, abz, naz)
+                nmed = jnp.where(is_tir, cmed, nmed)
+
+                # partial reflect + refract (313-410)
+                cos_p = jnp.sqrt(jnp.maximum(1.0 - crit, 0.0))
+                n2cos = n2d * cos_i
+                n1cosp = n1 * cos_p
+                rpar = (n2cos - n1cosp) / jnp.maximum(n2cos + n1cosp, 1e-20)
+                rperp = (n1 * cos_i - n2d * cos_p) / jnp.maximum(
+                    n1 * cos_i + n2d * cos_p, 1e-20)
+                r_refl = 0.5 * (rpar * rpar + rperp * rperp)
+                r_refr = 1.0 - r_refl
+
+                is_rl = hit & is_diel & (~tir) & can
+                new_act = new_act | is_rl
+                rin = is_rl & (obj_n > 1.00001)
+                nox = jnp.where(is_rl, px + nmx * eps, nox)
+                noy = jnp.where(is_rl, py + nmy * eps, noy)
+                noz = jnp.where(is_rl, pz + nmz * eps, noz)
+                ndx = jnp.where(is_rl, rdx, ndx)
+                ndy = jnp.where(is_rl, rdy, ndy)
+                ndz = jnp.where(is_rl, rdz, ndz)
+                nwx = jnp.where(is_rl, cwx * r_refl, nwx)
+                nwy = jnp.where(is_rl, cwy * r_refl, nwy)
+                nwz = jnp.where(is_rl, cwz * r_refl, nwz)
+                nax = jnp.where(rin, abx, nax)
+                nay = jnp.where(rin, aby, nay)
+                naz = jnp.where(rin, abz, naz)
+                nmed = jnp.where(is_rl, obj_n, nmed)
+
+                # refraction leg -> stack push
+                fdx, fdy, fdz = norm3(
+                    (cdx + nmx * cos_i) * ratio_n - nmx * cos_p,
+                    (cdy + nmy * cos_i) * ratio_n - nmy * cos_p,
+                    (cdz + nmz * cos_i) * ratio_n - nmz * cos_p,
+                )
+                fin = obj_n > 1.001
+                iota_k = jax.lax.broadcasted_iota(
+                    jnp.int32, (k_slots,) + shape, 0)
+                ksel = (iota_k == sp[None]) & is_rl[None]
+
+                def push(arr, val):
+                    return jnp.where(ksel, val[None], arr)
+
+                s_ox = push(s_ox, px - nmx * eps)
+                s_oy = push(s_oy, py - nmy * eps)
+                s_oz = push(s_oz, pz - nmz * eps)
+                s_dx = push(s_dx, fdx)
+                s_dy = push(s_dy, fdy)
+                s_dz = push(s_dz, fdz)
+                s_wx = push(s_wx, cwx * r_refr)
+                s_wy = push(s_wy, cwy * r_refr)
+                s_wz = push(s_wz, cwz * r_refr)
+                s_ax = push(s_ax, jnp.where(fin, abx, 0.0))
+                s_ay = push(s_ay, jnp.where(fin, aby, 0.0))
+                s_az = push(s_az, jnp.where(fin, abz, 0.0))
+                s_med = push(s_med, obj_n)
+                s_dep = jnp.where(ksel, (cdep - 1)[None], s_dep)
+                sp = sp + is_rl.astype(jnp.int32)
+
+        # ---- pop for lanes without a continuation ----
+        if diel:
+            need = (~new_act) & (sp > 0)
+            top = jnp.maximum(sp - 1, 0)
+            iota_k = jax.lax.broadcasted_iota(jnp.int32, (k_slots,) + shape, 0)
+            psel = iota_k == top[None]
+
+            def pop(arr):
+                return jnp.sum(jnp.where(psel, arr, 0), axis=0)
+
+            nox = jnp.where(need, pop(s_ox), nox)
+            noy = jnp.where(need, pop(s_oy), noy)
+            noz = jnp.where(need, pop(s_oz), noz)
+            ndx = jnp.where(need, pop(s_dx), ndx)
+            ndy = jnp.where(need, pop(s_dy), ndy)
+            ndz = jnp.where(need, pop(s_dz), ndz)
+            nwx = jnp.where(need, pop(s_wx), nwx)
+            nwy = jnp.where(need, pop(s_wy), nwy)
+            nwz = jnp.where(need, pop(s_wz), nwz)
+            nax = jnp.where(need, pop(s_ax), nax)
+            nay = jnp.where(need, pop(s_ay), nay)
+            naz = jnp.where(need, pop(s_az), naz)
+            nmed = jnp.where(need, pop(s_med), nmed)
+            ndep = jnp.where(need, pop(s_dep), cdep - 1)
+            sp = sp - need.astype(jnp.int32)
+            act = new_act | need
+        else:
+            ndep = cdep - 1
+            act = new_act
+
+        out = [it + 1, lr, lg, lb,
+               nox, noy, noz, ndx, ndy, ndz, nwx, nwy, nwz,
+               nax, nay, naz, nmed, ndep, jnp.where(act, 1.0, 0.0)]
+        if diel:
+            out += [sp, s_ox, s_oy, s_oz, s_dx, s_dy, s_dz,
+                    s_wx, s_wy, s_wz, s_ax, s_ay, s_az, s_med, s_dep]
+        return tuple(out)
+
+    final = jax.lax.while_loop(cond_fn, body_fn, tuple(carry))
+    lx_ref[:, :] = final[1]
+    ly_ref[:, :] = final[2]
+    lz_ref[:, :] = final[3]
+
+
+# ---------------------------------------------------------------------------
+# host wrapper
+# ---------------------------------------------------------------------------
+
+
+def _pad_rows(x, n):
+    pad = n - x.shape[0]
+    if pad <= 0:
+        return x
+    return jnp.pad(x, ((0, pad),), constant_values=1.0)
+
+
+def mega_trace_flat(mc: MegaConsts, tri_tab, o, d, interpret: bool = False):
+    """Radiance for rays o/d (R,3) via the fused kernel, returned as three
+    flat (R,) component arrays — flat layouts tile perfectly on TPU, while
+    (R,3) arrays pad the minor dim 3 -> 128.  Deterministic — eligible scenes
+    contain no stochastic features."""
+    r = o.shape[0]
+    r_pad = ((r + TILE - 1) // TILE) * TILE
+    n_rows = r_pad // LANES
+    cols = [
+        _pad_rows(arr[:, k], r_pad).reshape(n_rows, LANES)
+        for arr in (o, d)
+        for k in range(3)
+    ]
+    grid = (n_rows // ROWS,)
+    ray_spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    tri_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32)] * 3
+
+    lx, ly, lz = pl.pallas_call(
+        functools.partial(_kernel, mc=mc),
+        grid=grid,
+        in_specs=[ray_spec] * 6 + [tri_spec],
+        out_specs=[out_spec] * 3,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*cols, tri_tab)
+    return lx.reshape(-1)[:r], ly.reshape(-1)[:r], lz.reshape(-1)[:r]
+
+
+@functools.partial(jax.jit, static_argnames=("mc", "interpret"))
+def mega_trace(mc: MegaConsts, tri_tab, o, d, interpret: bool = False):
+    """(R,3) radiance via the fused kernel (see mega_trace_flat)."""
+    lx, ly, lz = mega_trace_flat(mc, tri_tab, o, d, interpret)
+    return jnp.stack([lx, ly, lz], axis=-1)

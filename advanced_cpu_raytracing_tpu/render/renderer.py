@@ -16,13 +16,14 @@ samples (identical for perfect squares, well-defined otherwise).
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from advanced_cpu_raytracing_tpu.render.camera import build_camera
+from advanced_cpu_raytracing_tpu.render.camera import build_camera, generate_rays
 from advanced_cpu_raytracing_tpu.render.integrator import (
     RenderOptions,
     trace_radiance,
@@ -53,19 +54,16 @@ def _auto_tile(total: int, opts: RenderOptions, pack: ScenePack,
     return min(tile, max(total, 1))
 
 
-@partial(jax.jit, static_argnames=("opts", "n_cells"))
-def _render_tile(pack: ScenePack, cam, px, py, key, opts: RenderOptions,
-                 n_cells: int):
-    """One device tile: n_cells^2 stratified samples per pixel, Gaussian
-    weighted (sigma = 1/6, src/gaussian.h; weights on the jitter offsets,
-    main.cpp:79-100).  px/py are integer pixel coords as float arrays (R,).
+def _gaussian_multisample(trace_fn, px, py, key, n_cells: int):
+    """n_cells^2 stratified samples per pixel, Gaussian weighted (sigma = 1/6,
+    src/gaussian.h; weights on the jitter offsets, main.cpp:79-100).
 
     The sample loop is a lax.scan so the integrator is traced exactly once
     regardless of spp (an unrolled loop would inline one integrator copy per
     sample and explode compile time).
     """
     if n_cells <= 1:
-        return trace_radiance(pack, cam, px, py, key, opts)
+        return trace_fn(px, py, key)
 
     r = px.shape[0]
     sigma = 1.0 / 6.0
@@ -80,7 +78,7 @@ def _render_tile(pack: ScenePack, cam, px, py, key, opts: RenderOptions,
         psi = jax.random.uniform(k_jit, (r, 2))
         sx = (col + psi[:, 0]) / n_cells
         sy = (row + psi[:, 1]) / n_cells
-        colr = trace_radiance(pack, cam, px + sx, py + sy, k_trace, opts)
+        colr = trace_fn(px + sx, py + sy, k_trace)
         dx = sx - 0.5
         dy = sy - 0.5
         wgt = c1 * jnp.exp(-(dx * dx + dy * dy) * inv_2s2)
@@ -91,6 +89,122 @@ def _render_tile(pack: ScenePack, cam, px, py, key, opts: RenderOptions,
         jnp.arange(n_cells * n_cells),
     )
     return acc / wacc[:, None]
+
+
+@partial(jax.jit, static_argnames=("opts", "n_cells"))
+def _render_tile(pack: ScenePack, cam, px, py, key, opts: RenderOptions,
+                 n_cells: int):
+    """One device tile via the jnp wavefront integrator.  px/py are integer
+    pixel coords as float arrays (R,)."""
+    return _gaussian_multisample(
+        lambda px2, py2, k: trace_radiance(pack, cam, px2, py2, k, opts),
+        px, py, key, n_cells)
+
+
+@partial(jax.jit, static_argnames=("mc", "n_cells", "interpret", "w", "h",
+                                   "as_ldr"))
+def _render_image_mega(mc, tri_tab, cam, key, n_cells: int, interpret: bool,
+                       w: int, h: int, as_ldr: bool):
+    """Whole image via the fused Pallas megakernel (eligible Whitted scenes;
+    see ops/pallas/megakernel.py) — ONE dispatch, zero host->device traffic:
+    pixel coordinates come from an on-device iota and the kernel tiles
+    internally over its grid.  Lens sampling for DoF happens outside the
+    kernel, so DoF scenes stay eligible.
+
+    ``as_ldr`` clamps to u8 on-device ((int)c clamp, src/helperMath.cpp:
+    140-152), shrinking the device->host fetch 12x — the reference's timed
+    render loop likewise materializes a host u8 buffer (main.cpp:108-125).
+    """
+    from advanced_cpu_raytracing_tpu.ops.pallas.megakernel import (
+        mega_trace,
+        mega_trace_flat,
+    )
+
+    idx = jnp.arange(w * h, dtype=jnp.int32)
+    px = (idx % w).astype(jnp.float32)
+    py = (idx // w).astype(jnp.float32)
+
+    def rays(px2, py2, k):
+        r = px2.shape[0]
+        if cam.use_dof and k is not None:
+            lens = jax.random.uniform(k, (r, 2), minval=-1.0, maxval=1.0)
+        else:
+            lens = jnp.zeros((r, 2))
+        return generate_rays(cam, px2, py2, lens, dof=cam.use_dof)
+
+    if n_cells <= 1:
+        # single-sample fast path: keep per-channel arrays FLAT end to end
+        # ((R,3) arrays pad the minor dim 3 -> 128 on TPU: 42x the memory
+        # traffic for every elementwise op and for the host fetch)
+        o, d = rays(px, py, key)
+        comps = mega_trace_flat(mc, tri_tab, o, d, interpret=interpret)
+        if as_ldr:
+            comps = [
+                jnp.clip(jnp.nan_to_num(c).astype(jnp.int32), 0, 255)
+                .astype(jnp.uint8) for c in comps
+            ]
+        return jnp.stack(comps, axis=0)  # (3, R): host transposes
+
+    def trace(px2, py2, k):
+        o, d = rays(px2, py2, k)
+        return mega_trace(mc, tri_tab, o, d, interpret=interpret)
+
+    col = jnp.transpose(  # (3, R): uniform host-side contract
+        _gaussian_multisample(trace, px, py, key, n_cells))
+    if as_ldr:
+        col = jnp.clip(jnp.nan_to_num(col).astype(jnp.int32), 0, 255)
+        return col.astype(jnp.uint8)
+    return col
+
+
+import weakref  # noqa: E402
+
+# build_mega pulls every table to host (one RPC per array on a tunneled
+# device) — cache per (pack, depth).  Keyed by id() with a weakref guard
+# (ScenePack is an unhashable dataclass); packs are immutable after
+# pack_scene, so identity is the right cache key.
+_MEGA_CACHE: dict = {}
+
+
+_CAM_CACHE: dict = {}
+
+
+def _camera_cached(cam_cfg: CameraCfg):
+    """build_camera materializes ~9 device scalars — each an h2d round-trip
+    on a tunneled TPU — so reuse the DeviceCamera per config object."""
+    key = id(cam_cfg)
+    ent = _CAM_CACHE.get(key)
+    if ent is not None and ent[0]() is cam_cfg:
+        return ent[1]
+    cam = build_camera(cam_cfg)
+    _CAM_CACHE[key] = (weakref.ref(cam_cfg), cam)
+    return cam
+
+
+def _mega_build_cached(pack: ScenePack, depth: int):
+    from advanced_cpu_raytracing_tpu.ops.pallas.megakernel import build_mega
+
+    key = id(pack)
+    ent = _MEGA_CACHE.get(key)
+    if ent is not None and ent[0]() is pack and ent[1] == depth:
+        return ent[2], ent[3]
+    mc, tab = build_mega(pack, depth)
+    _MEGA_CACHE[key] = (weakref.ref(pack), depth, mc, tab)
+    return mc, tab
+
+
+def _mega_route(pack: ScenePack, opts: RenderOptions) -> bool:
+    """Route a render through the fused kernel?  Compiled Pallas needs a real
+    TPU; ACRT_FORCE_MEGA=1 forces interpreter mode (tests), ACRT_NO_MEGA=1
+    disables the route."""
+    from advanced_cpu_raytracing_tpu.ops.pallas.megakernel import mega_eligible
+
+    if os.environ.get("ACRT_NO_MEGA") == "1":
+        return False
+    if not mega_eligible(pack.static, opts):
+        return False
+    return (jax.default_backend() == "tpu"
+            or os.environ.get("ACRT_FORCE_MEGA") == "1")
 
 
 def options_for_camera(cfg: SceneConfig, cam_cfg: CameraCfg) -> RenderOptions:
@@ -106,21 +220,43 @@ def options_for_camera(cfg: SceneConfig, cam_cfg: CameraCfg) -> RenderOptions:
 
 def render_camera(pack: ScenePack, cfg: SceneConfig, cam_cfg: CameraCfg,
                   seed: int = 0, tile_size: int | None = None,
-                  spp: int | None = None) -> np.ndarray:
-    """Render one camera to a (H, W, 3) float32 radiance image."""
-    cam = build_camera(cam_cfg)
+                  spp: int | None = None, ldr: bool = False) -> np.ndarray:
+    """Render one camera to an (H, W, 3) image.
+
+    ``ldr=False`` (default) returns float32 radiance; ``ldr=True`` returns
+    the clamped u8 image ((int)c clamp, src/helperMath.cpp:140-152) — on the
+    fused-kernel route the clamp happens on-device so only 3 bytes/pixel
+    cross the (slow, tunneled) device->host link.
+    """
+    cam = _camera_cached(cam_cfg)
     opts = options_for_camera(cfg, cam_cfg)
     w, h = cam_cfg.width, cam_cfg.height
     spp = cam_cfg.num_samples if spp is None else spp
     n_cells = max(int(math.isqrt(max(spp, 1))), 1)
-    tile_size = _auto_tile(w * h, opts, pack, tile_size)
 
+    if _mega_route(pack, opts):
+        mc, tri_tab = _mega_build_cached(pack, opts.max_depth)
+        interpret = jax.default_backend() != "tpu"
+        # deterministic single-sample non-DoF renders need no RNG at all —
+        # and merely *creating* a PRNG key costs a ~25 ms device round-trip
+        # on a tunneled TPU
+        if n_cells <= 1 and not cam.use_dof:
+            key = None
+        else:
+            key = jax.random.PRNGKey(seed)
+        img = _render_image_mega(mc, tri_tab, cam, key, n_cells, interpret,
+                                 w, h, ldr)  # (3, R)
+        return np.ascontiguousarray(
+            np.asarray(img).T.reshape(h, w, 3))
+
+    key = jax.random.PRNGKey(seed)
+
+    tile_size = _auto_tile(w * h, opts, pack, tile_size)
     total = w * h
     ys, xs = np.divmod(np.arange(total, dtype=np.int64), w)
     px_all = xs.astype(np.float32)
     py_all = ys.astype(np.float32)
 
-    key = jax.random.PRNGKey(seed)
     out = np.zeros((total, 3), np.float32)
     n_tiles = (total + tile_size - 1) // tile_size
     for ti in range(n_tiles):
@@ -133,7 +269,8 @@ def render_camera(pack: ScenePack, cfg: SceneConfig, cam_cfg: CameraCfg,
         col = _render_tile(pack, cam, jnp.asarray(px), jnp.asarray(py),
                            k_tile, opts, n_cells)
         out[lo:hi] = np.asarray(col)[: hi - lo]
-    return out.reshape(h, w, 3)
+    img = out.reshape(h, w, 3)
+    return ldr_from_radiance(img) if ldr else img
 
 
 def ldr_from_radiance(img: np.ndarray) -> np.ndarray:

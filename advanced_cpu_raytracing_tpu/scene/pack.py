@@ -74,6 +74,14 @@ class StaticInfo:
     has_mirror: bool = True
     has_dielectric: bool = True
     has_conductor: bool = True
+    # any material with roughness > 0.001 (perturbed reflections need RNG,
+    # which the fused megakernel does not carry)
+    has_rough: bool = False
+    # any emissive material (LightMesh) present
+    has_emissive_mat: bool = False
+    # number of world-space brute-force work items packed into wi_* (0 when
+    # the scene exceeds MEGA_MAX_FACES and only the BVH path can run it)
+    n_work_items: int = 0
 
     @property
     def has_env(self) -> bool:
@@ -123,6 +131,8 @@ class ScenePack:
     wi_v1: jnp.ndarray
     wi_v2: jnp.ndarray
     wi_motion: jnp.ndarray  # (W,3) world-space motion offset direction
+    wi_normal: jnp.ndarray  # (W,3) world-space shading normal (M⁻ᵀ · n, unit)
+    wi_mat: jnp.ndarray  # (W,) i32 dense material index
     # shadow-query variant: emissive (light-mesh) entities excluded
     # (CastShadowRay skips them, src/raytracer.cpp:590-593)
     ws_v0: jnp.ndarray  # (Ws,3)
@@ -255,6 +265,11 @@ def _face_props(verts: np.ndarray, tris: np.ndarray):
 # the renderer tests every face per ray instead of traversing BVHs — on TPU a
 # dense masked min-reduction beats pointer chasing for small scenes.
 BRUTE_FORCE_MAX_ITEMS = 2048
+
+# Megakernel geometry ceiling: world-space work items (wi_*) are packed for
+# any scene up to this size so the fused Pallas integrator can keep the whole
+# triangle soup VMEM-resident (16k faces x 16 cols x 4 B = 1 MiB).
+MEGA_MAX_FACES = 16384
 
 
 def pack_scene(cfg: SceneConfig) -> ScenePack:
@@ -645,8 +660,10 @@ def pack_scene(cfg: SceneConfig) -> ScenePack:
 
     # Brute-force work items: every (entity, face) pair with the triangle
     # pre-transformed to world space (see ops/traverse.py for the equivalence
-    # argument vs the reference's ray-to-object-space transform).
-    if not use_bvh and work_items > 0:
+    # argument vs the reference's ray-to-object-space transform).  Packed for
+    # every scene up to MEGA_MAX_FACES — the megakernel keeps them in VMEM
+    # even when the jnp path would use the BVH.
+    if work_items <= MEGA_MAX_FACES and work_items > 0:
         wi_ent = np.concatenate([
             np.full(r["face_count"], i, np.int32) for i, r in enumerate(ent_rows)
         ])
@@ -667,11 +684,22 @@ def pack_scene(cfg: SceneConfig) -> ScenePack:
         wi_motion = np.einsum(
             "wij,wj->wi", rot, motion[wi_ent]
         ).astype(np.float32)
+        # world shading normal: M⁻ᵀ · n_obj, normalized — exactly the
+        # surface_at path (Mesh::Intersect normal transform, mesh.cpp:184-187)
+        nrm = np.stack([np.asarray(r["nrm"], np.float64)[:3, :3] for r in ent_rows])
+        wn = np.einsum("wij,wj->wi", nrm[wi_ent], tri_normal[wi_face].astype(np.float64))
+        wn /= np.maximum(np.linalg.norm(wn, axis=-1, keepdims=True), 1e-30)
+        wi_normal = wn.astype(np.float32)
+        wi_mat = np.array([ent_rows[e]["material"] for e in wi_ent], np.int32)
+        n_work_items = work_items
     else:
         wi_ent = np.zeros(1, np.int32)
         wi_face = np.zeros(1, np.int32)
         wi_v0 = wi_v1 = wi_v2 = np.zeros((1, 3), np.float32)
         wi_motion = np.zeros((1, 3), np.float32)
+        wi_normal = np.zeros((1, 3), np.float32)
+        wi_mat = np.zeros(1, np.int32)
+        n_work_items = 0
 
     emissive_flags = np.array([bool(r["emissive"]) for r in ent_rows], bool)
     shadow_keep = (~emissive_flags[wi_ent]) if len(ent_rows) else np.zeros(1, bool)
@@ -697,6 +725,9 @@ def pack_scene(cfg: SceneConfig) -> ScenePack:
         has_mirror=bool((mat_type == int(MaterialType.MIRROR)).any()),
         has_dielectric=bool((mat_type == int(MaterialType.DIELECTRIC)).any()),
         has_conductor=bool((mat_type == int(MaterialType.CONDUCTOR)).any()),
+        has_rough=bool((mat_rough > 0.001).any()),
+        has_emissive_mat=bool((mat_type == int(MaterialType.EMISSIVE)).any()),
+        n_work_items=n_work_items,
     )
 
     return ScenePack(
@@ -715,7 +746,8 @@ def pack_scene(cfg: SceneConfig) -> ScenePack:
         ent_tex=_i32(ent["tex"]),
         wi_ent=_i32(wi_ent), wi_face=_i32(wi_face),
         wi_v0=_f32(wi_v0), wi_v1=_f32(wi_v1), wi_v2=_f32(wi_v2),
-        wi_motion=_f32(wi_motion),
+        wi_motion=_f32(wi_motion), wi_normal=_f32(wi_normal),
+        wi_mat=_i32(wi_mat),
         ws_v0=_f32(ws_v0), ws_v1=_f32(ws_v1), ws_v2=_f32(ws_v2),
         ws_motion=_f32(ws_motion),
         sph_center=_f32(sph_center), sph_radius=_f32(sph_radius),
