@@ -24,6 +24,9 @@ def main(argv=None) -> int:
     parser.add_argument("--spp", type=int, default=None,
                         help="override per-camera NumSamples")
     parser.add_argument("--tile", type=int, default=None, help="tile size")
+    parser.add_argument("--shard", action="store_true",
+                        help="shard pixels across all visible devices "
+                             "(jax.sharding mesh; scene replicated)")
     args = parser.parse_args(argv)
 
     from advanced_cpu_raytracing_tpu.post.tonemap import reinhard_tonemap
@@ -48,11 +51,19 @@ def main(argv=None) -> int:
               f"samples: {cam_cfg.num_samples}")
         if cam_cfg.renderer_params.path_tracing:
             print(f"Path tracing is enabled for: {cam_cfg.image_name}")
-        kwargs = {}
-        if args.tile:
-            kwargs["tile_size"] = args.tile
-        img = render_camera(pack, cfg, cam_cfg, seed=args.seed, spp=args.spp,
-                            **kwargs)
+        if args.shard:
+            from advanced_cpu_raytracing_tpu.parallel.shard_render import (
+                render_camera_sharded,
+            )
+
+            img = render_camera_sharded(pack, cfg, cam_cfg, seed=args.seed,
+                                        spp=args.spp)
+        else:
+            kwargs = {}
+            if args.tile:
+                kwargs["tile_size"] = args.tile
+            img = render_camera(pack, cfg, cam_cfg, seed=args.seed,
+                                spp=args.spp, **kwargs)
         base = os.path.join(args.out_dir, cam_cfg.image_name)
         stem = base[: base.rfind(".")] if "." in os.path.basename(base) else base
         if cam_cfg.tonemap is not None:

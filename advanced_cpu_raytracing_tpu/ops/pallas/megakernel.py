@@ -59,6 +59,14 @@ _DIELECTRIC = int(MaterialType.DIELECTRIC)
 _CONDUCTOR = int(MaterialType.CONDUCTOR)
 
 
+# Faces per culling chunk: consecutive faces in BVH depth-first order (the
+# pack permutes each mesh's faces by its BVH build), so a chunk is spatially
+# coherent and one AABB test per (block, chunk) replaces 128 triangle tests
+# when the whole ray block misses it — the TPU-shaped answer to per-ray BVH
+# pointer chasing (reference bvh.cpp:5-31).
+CHUNK = 128
+
+
 @dataclass(frozen=True)
 class MegaConsts:
     """Scene constants baked into the kernel (hashable => one jit per scene)."""
@@ -108,10 +116,11 @@ def mega_eligible(static, opts) -> bool:
 
 
 def build_mega(pack, max_depth: int):
-    """Extract (MegaConsts, tri_table) from a ScenePack.
+    """Extract (MegaConsts, tri_table, chunk_table) from a ScenePack.
 
     tri_table is (Tpad, 16) f32: v0(0:3) v1(3:6) v2(6:9) n_world(9:12)
-    mat(12) pad(13:16).
+    mat(12) pad(13:16).  chunk_table is (n_chunks, 8) f32: bbox min(0:3)
+    max(3:6) over each CHUNK consecutive faces.
     """
     st = pack.static
     w = st.n_work_items
@@ -122,6 +131,15 @@ def build_mega(pack, max_depth: int):
         tab[:, 6:9] = np.asarray(pack.wi_v2)[:w]
         tab[:, 9:12] = np.asarray(pack.wi_normal)[:w]
         tab[:, 12] = np.asarray(pack.wi_mat)[:w].astype(np.float32)
+
+    n_chunks = max((w + CHUNK - 1) // CHUNK, 1)
+    ctab = np.zeros((n_chunks, 8), np.float32)
+    for ci in range(n_chunks):
+        lo, hi = ci * CHUNK, min((ci + 1) * CHUNK, max(w, 1))
+        vs = tab[lo:hi, 0:9].reshape(-1, 3)
+        if len(vs):
+            ctab[ci, 0:3] = vs.min(axis=0)
+            ctab[ci, 3:6] = vs.max(axis=0)
 
     def tup(a):
         return tuple(float(x) for x in np.asarray(a).reshape(-1))
@@ -183,7 +201,7 @@ def build_mega(pack, max_depth: int):
         stack_k=stack_k,
         max_iters=max_iters,
     )
-    return mc, jnp.asarray(tab)
+    return mc, jnp.asarray(tab), jnp.asarray(ctab)
 
 
 # ---------------------------------------------------------------------------
@@ -192,7 +210,7 @@ def build_mega(pack, max_depth: int):
 
 
 def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
-            lx_ref, ly_ref, lz_ref, *, mc: MegaConsts):
+            chunk_ref, lx_ref, ly_ref, lz_ref, *, mc: MegaConsts):
     shape = (ROWS, LANES)
     ZERO = jnp.zeros(shape, jnp.float32)
     ONE = jnp.ones(shape, jnp.float32)
@@ -285,10 +303,54 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         nwz = nm[6] * prx + nm[7] * pry + nm[8] * prz
         return t, valid, nwx, nwy, nwz
 
-    def trace(px, py, pz, vx, vy, vz):
-        """Closest hit over all VMEM triangles + const spheres.
-        Returns (t, nx, ny, nz (unit), matf, hit)."""
-        init = (jnp.full(shape, BIG), ZERO, ZERO, ONE, ZERO)
+    n_chunks = (mc.n_tri + CHUNK - 1) // CHUNK
+
+    def chunk_sweep(px, py, pz, vx, vy, vz, body, init, live_of):
+        """Iterate triangles in CHUNK-sized spatially-coherent groups,
+        skipping a whole chunk when no lane's ray segment can enter its AABB
+        (slab test, BoundingBox semantics of shape.hpp:78-100).  ``live_of``
+        maps the running carry to the per-lane reject distance (0 for lanes
+        that no longer need triangles, e.g. already-blocked shadow lanes)."""
+        if n_chunks <= 1:
+            return jax.lax.fori_loop(0, mc.n_tri, body, init)
+        ivx = 1.0 / vx
+        ivy = 1.0 / vy
+        ivz = 1.0 / vz
+
+        def chunk_body(ci, carry):
+            t_b = live_of(carry)
+            t1 = (chunk_ref[ci, 0] - px) * ivx
+            t2 = (chunk_ref[ci, 3] - px) * ivx
+            tmin = jnp.minimum(t1, t2)
+            tmax = jnp.maximum(t1, t2)
+            t1 = (chunk_ref[ci, 1] - py) * ivy
+            t2 = (chunk_ref[ci, 4] - py) * ivy
+            tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+            tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+            t1 = (chunk_ref[ci, 2] - pz) * ivz
+            t2 = (chunk_ref[ci, 5] - pz) * ivz
+            tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+            tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+            enter = (tmax > 0) & (tmax >= tmin) & (tmin < t_b)
+            lo = ci * CHUNK
+            hi = jnp.minimum(lo + CHUNK, mc.n_tri)
+            return jax.lax.cond(
+                jnp.any(enter),
+                lambda c: jax.lax.fori_loop(lo, hi, body, c),
+                lambda c: c,
+                carry,
+            )
+
+        return jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+
+    def trace(px, py, pz, vx, vy, vz, active):
+        """Closest hit over all VMEM triangles + const spheres for lanes in
+        ``active``.  Returns (t, nx, ny, nz (unit), matf, hit).
+
+        Inactive lanes start with reject distance 0, so they never keep a
+        culling chunk alive — as a block's shading tree dies down, whole
+        triangle chunks stop being swept."""
+        init = (jnp.where(active, BIG, 0.0), ZERO, ZERO, ONE, ZERO)
 
         def body(ti, carry):
             t_b, nx, ny, nz, mf = carry
@@ -303,11 +365,12 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             )
 
         if mc.n_tri > 0:
-            init = jax.lax.fori_loop(0, mc.n_tri, body, init)
+            init = chunk_sweep(px, py, pz, vx, vy, vz, body, init,
+                               live_of=lambda c: c[0])
         t_b, nx, ny, nz, mf = init
         for s in mc.spheres:
             t, valid, nwx, nwy, nwz = sphere_hit(s, px, py, pz, vx, vy, vz)
-            better = valid & (t < t_b)
+            better = valid & (t < t_b) & active
             t_b = jnp.where(better, t, t_b)
             nx = jnp.where(better, nwx, nx)
             ny = jnp.where(better, nwy, ny)
@@ -317,20 +380,25 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         nx, ny, nz = norm3(nx, ny, nz)
         return t_b, nx, ny, nz, mf, hit
 
-    def shadow(px, py, pz, vx, vy, vz, limit):
-        """Occlusion along unit direction v up to `limit`
-        (IsInShadow, src/raytracer.cpp:567-583).
+    def shadow(px, py, pz, vx, vy, vz, limit, gate):
+        """Occlusion along unit direction v up to `limit` for lanes in
+        ``gate`` (IsInShadow, src/raytracer.cpp:567-583).
 
         The carry is f32, not bool: Mosaic miscompiles (8,128) i1 vectors as
-        loop carries (packed-mask layout mismatch)."""
+        loop carries (packed-mask layout mismatch).  Gated-off lanes start
+        "already blocked" so they never keep a culling chunk alive."""
         def body(ti, blocked):
             t, valid = tri_hit(ti, px, py, pz, vx, vy, vz)
             return jnp.maximum(
                 blocked, jnp.where(valid & (t < limit), 1.0, 0.0))
 
-        blocked = ZERO
+        blocked = jnp.where(gate, 0.0, 1.0)
         if mc.n_tri > 0:
-            blocked = jax.lax.fori_loop(0, mc.n_tri, body, blocked)
+            # reject distance = the segment length; skip chunks once every
+            # lane is already blocked
+            blocked = chunk_sweep(
+                px, py, pz, vx, vy, vz, body, blocked,
+                live_of=lambda b: jnp.where(b > 0.5, 0.0, limit))
         out = blocked > 0.5
         for s in mc.spheres:
             t, valid, _, _, _ = sphere_hit(s, px, py, pz, vx, vy, vz)
@@ -394,7 +462,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             (sp, s_ox, s_oy, s_oz, s_dx, s_dy, s_dz, s_wx, s_wy, s_wz,
              s_ax, s_ay, s_az, s_med, s_dep) = c[19:]
 
-        t, nx, ny, nz, matf, hitv = trace(cox, coy, coz, cdx, cdy, cdz)
+        t, nx, ny, nz, matf, hitv = trace(cox, coy, coz, cdx, cdy, cdz, cact)
         hit = hitv & cact
         t_safe = jnp.where(hit, t, 0.0)
 
@@ -453,7 +521,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             dist = jnp.sqrt(d2)
             inv = 1.0 / dist
             wix, wiy, wiz = tlx * inv, tly * inv, tlz * inv
-            blocked = shadow(sox, soy, soz, wix, wiy, wiz, dist)
+            blocked = shadow(sox, soy, soz, wix, wiy, wiz, dist, lit)
             lr, lg, lb = add_light(
                 lr, lg, lb, wix, wiy, wiz,
                 li[0] / d2, li[1] / d2, li[2] / d2, blocked)
@@ -463,7 +531,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             wiy = jnp.full(shape, ld[1])
             wiz = jnp.full(shape, ld[2])
             blocked = shadow(sox, soy, soz, wix, wiy, wiz,
-                             jnp.full(shape, BIG))
+                             jnp.full(shape, BIG), lit)
             lr, lg, lb = add_light(
                 lr, lg, lb, wix, wiy, wiz,
                 jnp.full(shape, lrad[0]), jnp.full(shape, lrad[1]),
@@ -679,7 +747,8 @@ def _pad_rows(x, n):
     return jnp.pad(x, ((0, pad),), constant_values=1.0)
 
 
-def mega_trace_flat(mc: MegaConsts, tri_tab, o, d, interpret: bool = False):
+def mega_trace_flat(mc: MegaConsts, tri_tab, chunk_tab, o, d,
+                    interpret: bool = False):
     """Radiance for rays o/d (R,3) via the fused kernel, returned as three
     flat (R,) component arrays — flat layouts tile perfectly on TPU, while
     (R,3) arrays pad the minor dim 3 -> 128.  Deterministic — eligible scenes
@@ -703,16 +772,17 @@ def mega_trace_flat(mc: MegaConsts, tri_tab, o, d, interpret: bool = False):
     lx, ly, lz = pl.pallas_call(
         functools.partial(_kernel, mc=mc),
         grid=grid,
-        in_specs=[ray_spec] * 6 + [tri_spec],
+        in_specs=[ray_spec] * 6 + [tri_spec] * 2,
         out_specs=[out_spec] * 3,
         out_shape=out_shape,
         interpret=interpret,
-    )(*cols, tri_tab)
+    )(*cols, tri_tab, chunk_tab)
     return lx.reshape(-1)[:r], ly.reshape(-1)[:r], lz.reshape(-1)[:r]
 
 
 @functools.partial(jax.jit, static_argnames=("mc", "interpret"))
-def mega_trace(mc: MegaConsts, tri_tab, o, d, interpret: bool = False):
+def mega_trace(mc: MegaConsts, tri_tab, chunk_tab, o, d,
+               interpret: bool = False):
     """(R,3) radiance via the fused kernel (see mega_trace_flat)."""
-    lx, ly, lz = mega_trace_flat(mc, tri_tab, o, d, interpret)
+    lx, ly, lz = mega_trace_flat(mc, tri_tab, chunk_tab, o, d, interpret)
     return jnp.stack([lx, ly, lz], axis=-1)

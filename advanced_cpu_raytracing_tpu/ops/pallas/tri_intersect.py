@@ -9,9 +9,9 @@ Kernel design (see /opt/skills/guides/pallas_guide.md):
     — 1024 rays — satisfying the TPU (8, 128) f32 tile constraint;
   * triangle SoA arrays are VMEM-resident and broadcast to every program
     (brute mode caps W at ~2k items = ~100 KB);
-  * an inner fori_loop walks triangle chunks of 8; each step evaluates an
-    (8 tris, 8 rows, 128 lanes) block of determinants on the VPU and folds it
-    into the running per-ray minimum;
+  * an inner fori_loop folds one triangle per step into the running per-ray
+    minimum as (8, 128) VPU ops (TRI_CHUNK only pads the table; Mosaic has no
+    3-D gather/argmin, so the triangle reduction is sequential);
   * all math in f32 on the VPU — no MXU involvement, so no bf16 truncation
     of ray geometry.
 

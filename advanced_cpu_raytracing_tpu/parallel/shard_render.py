@@ -32,6 +32,56 @@ def _traced(pack, cam, px, py, key, opts):
     return trace_radiance(pack, cam, px, py, key, opts)
 
 
+def render_camera_sharded(pack, cfg, cam_cfg, mesh=None, seed: int = 0,
+                          spp: int | None = None) -> np.ndarray:
+    """The PRODUCTION render — stratified multisampling + Gaussian
+    reconstruction included — with pixels sharded across the device mesh.
+
+    This is the same jitted tile function the single-device renderer uses
+    (render/renderer.py::_render_tile); the only difference is the sharding
+    annotations on the pixel batch (scene pack and camera replicated).  XLA
+    partitions the whole integrator SPMD, so the result equals the
+    single-device image up to fp reduction order.  The reference's analogue
+    is its only parallel axis: row blocks over 8 pthreads (main.cpp:38-39).
+    """
+    import math
+
+    from advanced_cpu_raytracing_tpu.render.renderer import (
+        _render_tile,
+        options_for_camera,
+    )
+    from advanced_cpu_raytracing_tpu.render.camera import build_camera
+
+    if mesh is None:
+        mesh = make_device_mesh()
+    cam = build_camera(cam_cfg)
+    opts = options_for_camera(cfg, cam_cfg)
+    w, h = cam_cfg.width, cam_cfg.height
+    spp = cam_cfg.num_samples if spp is None else spp
+    n_cells = max(int(math.isqrt(max(spp, 1))), 1)
+
+    total = w * h
+    pad = (-total) % mesh.size
+    ys, xs = np.divmod(np.arange(total, dtype=np.int64), w)
+    px = np.pad(xs.astype(np.float32), (0, pad))
+    py = np.pad(ys.astype(np.float32), (0, pad))
+
+    shard = tile_sharding(mesh)
+    repl = replicated(mesh)
+    px = jax.device_put(jnp.asarray(px), shard)
+    py = jax.device_put(jnp.asarray(py), shard)
+    pack_r = jax.device_put(pack, repl)
+    cam_r = jax.device_put(cam, repl)
+    # fold_in(key, 0) mirrors the single-device driver's per-tile key for its
+    # first (here: only) tile, so sharded and unsharded images use identical
+    # sample jitter
+    key = jax.device_put(
+        jax.random.fold_in(jax.random.PRNGKey(seed), 0), repl)
+
+    col = _render_tile(pack_r, cam_r, px, py, key, opts, n_cells)
+    return np.asarray(col)[:total].reshape(h, w, 3)
+
+
 def render_sharded(pack, cam, px, py, key, opts: RenderOptions, mesh=None):
     """Render a flat pixel batch sharded across devices.
 

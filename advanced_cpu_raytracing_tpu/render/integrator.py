@@ -72,6 +72,14 @@ class RenderOptions:
     # runs a fixed-trip-count fori_loop instead (fully masked body, so the
     # result is identical — only early exit is lost).
     differentiable: bool = False
+    # Dielectric hits sample ONE child (reflect with probability r_refl, else
+    # refract) instead of splitting into both.  The Fresnel weight cancels
+    # against the selection probability, so the child weight equals the
+    # parent's — an unbiased estimator of the deterministic split (reference
+    # raytracer.cpp:313-410) with a FLAT ray population: iterations stay
+    # O(depth) instead of O(2^depth).  The MC default for path tracing;
+    # Whitted golden renders keep the deterministic split.
+    stochastic_dielectric: bool = False
 
     def auto_iters(self, branching: int = 2) -> int:
         """Upper bound on processed tree nodes per lane.
@@ -382,26 +390,50 @@ def _process_hit(pack: ScenePack, opts: RenderOptions, o, d, w_in, absorb,
         child_medium = obj_n
 
         is_rl = active & is_diel & ~tir & can_recurse
-        any_reflect |= is_rl
-        rm = is_rl[:, None]
-        refl_o = jnp.where(rm, p + n_mod * eps, refl_o)
-        refl_d = jnp.where(rm, w_rd, refl_d)
-        refl_w = jnp.where(rm, w * r_refl[:, None], refl_w)
-        refl_absorb = jnp.where(
-            rm & (child_medium > 1.00001)[:, None], mat_abs, refl_absorb)
-        refl_medium = jnp.where(is_rl, child_medium, refl_medium)
-        refl_env |= is_rl & bool(st.has_env)
+        refr_dir = (d + n_mod * cos_i[:, None]) * ratio_n[:, None] \
+            - n_mod * cos_p[:, None]
+        refr_dir = _perturb_dir(refr_dir, rough, k_rf)
+        absorb_rf = jnp.where((child_medium > 1.001)[:, None], mat_abs, 0.0)
+
+        if opts.stochastic_dielectric:
+            # single-path mode: pick reflect w.p. r_refl else refract; the
+            # Fresnel weight cancels against the selection probability, so
+            # the child's weight is exactly the parent's
+            choose_refl = jax.random.uniform(k_rl, (r,)) < r_refl
+            is_refl_c = is_rl & choose_refl
+            is_refr_c = is_rl & ~choose_refl
+            any_reflect |= is_rl
+            fm = is_refl_c[:, None]
+            refl_o = jnp.where(fm, p + n_mod * eps, refl_o)
+            refl_d = jnp.where(fm, w_rd, refl_d)
+            refl_w = jnp.where(fm, w, refl_w)
+            refl_absorb = jnp.where(
+                fm & (child_medium > 1.00001)[:, None], mat_abs, refl_absorb)
+            gm = is_refr_c[:, None]
+            refl_o = jnp.where(gm, p - n_mod * eps, refl_o)
+            refl_d = jnp.where(gm, refr_dir, refl_d)
+            refl_w = jnp.where(gm, w, refl_w)
+            refl_absorb = jnp.where(gm, absorb_rf, refl_absorb)
+            refl_medium = jnp.where(is_rl, child_medium, refl_medium)
+            refl_env |= is_rl & bool(st.has_env)
+        else:
+            any_reflect |= is_rl
+            rm = is_rl[:, None]
+            refl_o = jnp.where(rm, p + n_mod * eps, refl_o)
+            refl_d = jnp.where(rm, w_rd, refl_d)
+            refl_w = jnp.where(rm, w * r_refl[:, None], refl_w)
+            refl_absorb = jnp.where(
+                rm & (child_medium > 1.00001)[:, None], mat_abs, refl_absorb)
+            refl_medium = jnp.where(is_rl, child_medium, refl_medium)
+            refl_env |= is_rl & bool(st.has_env)
 
     if any_specular:
         stack = _push(stack, any_reflect, refl_o, refl_d, refl_w,
                       refl_absorb, refl_medium, depth - 1, refl_env)
 
-    if st.has_dielectric:
-        # refraction leg (358-410)
-        refr_dir = (d + n_mod * cos_i[:, None]) * ratio_n[:, None] \
-            - n_mod * cos_p[:, None]
-        refr_dir = _perturb_dir(refr_dir, rough, k_rf)
-        absorb_rf = jnp.where((child_medium > 1.001)[:, None], mat_abs, 0.0)
+    if st.has_dielectric and not opts.stochastic_dielectric:
+        # deterministic split: the refraction leg is a SECOND child
+        # (358-410)
         stack = _push(
             stack, is_rl,
             p - n_mod * eps, refr_dir, w * r_refr[:, None],
@@ -441,8 +473,9 @@ def trace_radiance(pack: ScenePack, cam, px, py, key, opts: RenderOptions):
 
     # stack capacity: with P push-branches per node, DFS depth grows by at
     # most (P-1) per level.  P = specular chain (1) + GI (PT) + the extra
-    # dielectric split.
-    branches = 1 + (1 if opts.path_tracing else 0) + (1 if st.has_dielectric else 0)
+    # dielectric split (elided in stochastic single-path mode).
+    branches = 1 + (1 if opts.path_tracing else 0) + (
+        1 if st.has_dielectric and not opts.stochastic_dielectric else 0)
     depth_total = opts.max_depth + (RR_DEPTH_FLOOR if opts.russian_roulette else 0)
     k_stack = max(branches - 1, 1) * max(depth_total, 1) + 4
     stack = _make_stack(r, k_stack)

@@ -42,7 +42,8 @@ def _auto_tile(total: int, opts: RenderOptions, pack: ScenePack,
     if requested:
         return requested
     branches = 1 + (1 if opts.path_tracing else 0) + \
-        (1 if pack.static.has_dielectric else 0)
+        (1 if pack.static.has_dielectric
+         and not opts.stochastic_dielectric else 0)
     from advanced_cpu_raytracing_tpu.render.integrator import RR_DEPTH_FLOOR
 
     depth_total = opts.max_depth + (RR_DEPTH_FLOOR if opts.russian_roulette
@@ -103,8 +104,8 @@ def _render_tile(pack: ScenePack, cam, px, py, key, opts: RenderOptions,
 
 @partial(jax.jit, static_argnames=("mc", "n_cells", "interpret", "w", "h",
                                    "as_ldr"))
-def _render_image_mega(mc, tri_tab, cam, key, n_cells: int, interpret: bool,
-                       w: int, h: int, as_ldr: bool):
+def _render_image_mega(mc, tri_tab, chunk_tab, cam, key, n_cells: int,
+                       interpret: bool, w: int, h: int, as_ldr: bool):
     """Whole image via the fused Pallas megakernel (eligible Whitted scenes;
     see ops/pallas/megakernel.py) — ONE dispatch, zero host->device traffic:
     pixel coordinates come from an on-device iota and the kernel tiles
@@ -137,7 +138,8 @@ def _render_image_mega(mc, tri_tab, cam, key, n_cells: int, interpret: bool,
         # ((R,3) arrays pad the minor dim 3 -> 128 on TPU: 42x the memory
         # traffic for every elementwise op and for the host fetch)
         o, d = rays(px, py, key)
-        comps = mega_trace_flat(mc, tri_tab, o, d, interpret=interpret)
+        comps = mega_trace_flat(mc, tri_tab, chunk_tab, o, d,
+                                interpret=interpret)
         if as_ldr:
             comps = [
                 jnp.clip(jnp.nan_to_num(c).astype(jnp.int32), 0, 255)
@@ -147,7 +149,7 @@ def _render_image_mega(mc, tri_tab, cam, key, n_cells: int, interpret: bool,
 
     def trace(px2, py2, k):
         o, d = rays(px2, py2, k)
-        return mega_trace(mc, tri_tab, o, d, interpret=interpret)
+        return mega_trace(mc, tri_tab, chunk_tab, o, d, interpret=interpret)
 
     col = jnp.transpose(  # (3, R): uniform host-side contract
         _gaussian_multisample(trace, px, py, key, n_cells))
@@ -187,10 +189,10 @@ def _mega_build_cached(pack: ScenePack, depth: int):
     key = id(pack)
     ent = _MEGA_CACHE.get(key)
     if ent is not None and ent[0]() is pack and ent[1] == depth:
-        return ent[2], ent[3]
-    mc, tab = build_mega(pack, depth)
-    _MEGA_CACHE[key] = (weakref.ref(pack), depth, mc, tab)
-    return mc, tab
+        return ent[2], ent[3], ent[4]
+    mc, tab, ctab = build_mega(pack, depth)
+    _MEGA_CACHE[key] = (weakref.ref(pack), depth, mc, tab, ctab)
+    return mc, tab, ctab
 
 
 def _mega_route(pack: ScenePack, opts: RenderOptions) -> bool:
@@ -215,6 +217,10 @@ def options_for_camera(cfg: SceneConfig, cam_cfg: CameraCfg) -> RenderOptions:
         next_event_estimation=rp.next_event_estimation,
         russian_roulette=rp.russian_roulette,
         max_depth=cfg.max_recursion_depth,
+        # PT renders are Monte-Carlo anyway: sample one dielectric child per
+        # hit (flat ray population) instead of splitting exponentially;
+        # Whitted renders keep the reference's deterministic split
+        stochastic_dielectric=rp.path_tracing,
     )
 
 
@@ -235,7 +241,7 @@ def render_camera(pack: ScenePack, cfg: SceneConfig, cam_cfg: CameraCfg,
     n_cells = max(int(math.isqrt(max(spp, 1))), 1)
 
     if _mega_route(pack, opts):
-        mc, tri_tab = _mega_build_cached(pack, opts.max_depth)
+        mc, tri_tab, chunk_tab = _mega_build_cached(pack, opts.max_depth)
         interpret = jax.default_backend() != "tpu"
         # deterministic single-sample non-DoF renders need no RNG at all —
         # and merely *creating* a PRNG key costs a ~25 ms device round-trip
@@ -244,8 +250,8 @@ def render_camera(pack: ScenePack, cfg: SceneConfig, cam_cfg: CameraCfg,
             key = None
         else:
             key = jax.random.PRNGKey(seed)
-        img = _render_image_mega(mc, tri_tab, cam, key, n_cells, interpret,
-                                 w, h, ldr)  # (3, R)
+        img = _render_image_mega(mc, tri_tab, chunk_tab, cam, key, n_cells,
+                                 interpret, w, h, ldr)  # (3, R)
         return np.ascontiguousarray(
             np.asarray(img).T.reshape(h, w, 3))
 

@@ -57,14 +57,14 @@ def main() -> None:
         import jax
 
         cam = _camera_cached(cam_cfg)
-        mc, tab = _mega_build_cached(pack, opts.max_depth)
+        mc, tab, ctab = _mega_build_cached(pack, opts.max_depth)
         interpret = jax.default_backend() != "tpu"
 
         def run_pipeline() -> float:
             t0 = time.perf_counter()
             imgs = [
-                _render_image_mega(mc, tab, cam, None, 1, interpret, w, h,
-                                   True)
+                _render_image_mega(mc, tab, ctab, cam, None, 1, interpret,
+                                   w, h, True)
                 for _ in range(PIPELINE)
             ]
             for im in imgs:

@@ -46,7 +46,7 @@ def test_megakernel_matches_wavefront(scene):
     opts = RenderOptions(max_depth=cfg.max_recursion_depth)
     assert mega_eligible(pack.static, opts), "golden scene must be eligible"
 
-    mc, tab = build_mega(pack, opts.max_depth)
+    mc, tab, ctab = build_mega(pack, opts.max_depth)
     r = 1024
     rng = np.random.default_rng(7)
     px = jnp.asarray(rng.uniform(0, cam_cfg.width, r).astype(np.float32))
@@ -56,7 +56,7 @@ def test_megakernel_matches_wavefront(scene):
 
     l_ref = np.asarray(
         trace_radiance(pack, cam, px, py, jax.random.PRNGKey(0), opts))
-    l_mega = np.asarray(mega_trace(mc, tab, o, d, interpret=True))
+    l_mega = np.asarray(mega_trace(mc, tab, ctab, o, d, interpret=True))
 
     diff = np.abs(l_ref - l_mega)
     # colors are in the reference's 0..255-ish radiance range; the only

@@ -78,3 +78,41 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_production_render_sharded_matches_single(scene):
+    """The FULL production render (multisampling + Gaussian filter) sharded
+    over 8 devices must equal the single-device image (VERDICT r1 item 5)."""
+    from advanced_cpu_raytracing_tpu.parallel.shard_render import (
+        render_camera_sharded,
+    )
+    from advanced_cpu_raytracing_tpu.render.renderer import render_camera
+    import dataclasses
+
+    cfg, pack = scene
+    # shrink the camera so the test renders a 40x24 image with 4 spp
+    cam_cfg = dataclasses.replace(cfg.cameras[0], width=40, height=24,
+                                  num_samples=4)
+    single = render_camera(pack, cfg, cam_cfg, seed=3)
+    sharded = render_camera_sharded(pack, cfg, cam_cfg, seed=3)
+    assert sharded.shape == single.shape == (24, 40, 3)
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-4)
+
+
+def test_sharded_tonemap_matches_single():
+    from advanced_cpu_raytracing_tpu.post.tonemap import (
+        reinhard_tonemap,
+        reinhard_tonemap_sharded,
+    )
+
+    rng = np.random.default_rng(5)
+    # 21x11 pixels: total = 231 does NOT divide by 8 -> exercises the padding
+    # mask in both statistics
+    hdr = (rng.uniform(0, 4, (21, 11, 3)) ** 2).astype(np.float32)
+    mesh = make_device_mesh()
+    for burn in (0.0, 1.0, 8.0):
+        a = reinhard_tonemap(hdr, burn_percent=burn)
+        b = reinhard_tonemap_sharded(hdr, mesh, burn_percent=burn)
+        # u8 outputs; floor() may flip by 1 on fp reduction-order ties
+        assert np.mean(np.abs(a.astype(int) - b.astype(int))) < 0.02
+        assert np.max(np.abs(a.astype(int) - b.astype(int))) <= 1
