@@ -110,7 +110,9 @@ def mega_eligible(static, opts) -> bool:
         and not static.has_rough
         and not static.has_emissive_mat
         and static.n_spheres <= 8
-        and static.n_materials <= 12
+        # materials are unrolled masked selects (~17 scalar fields each);
+        # the contributor golden scenes go up to 103 materials
+        and static.n_materials <= 128
         and opts.max_depth <= 10
     )
 

@@ -121,9 +121,30 @@ def _render_image_mega(mc, tri_tab, chunk_tab, cam, key, n_cells: int,
         mega_trace_flat,
     )
 
-    idx = jnp.arange(w * h, dtype=jnp.int32)
-    px = (idx % w).astype(jnp.float32)
-    py = (idx // w).astype(jnp.float32)
+    # Ray -> block assignment.  Linear order hands each (8,128) kernel block
+    # a 1024-pixel scanline strip that can cross the whole image, so ONE
+    # deep-recursion object (e.g. the scienceTree diamond) forces deep
+    # iteration on every block.  For divergent scenes, remap rays into 32x32
+    # pixel tiles (both directions are analytic index arithmetic — no stored
+    # permutation): only tiles containing the object iterate deep.
+    tiled = mc.has_dielectric and mc.max_depth > 2 and n_cells <= 1
+    if tiled:
+        tw = 32
+        ntx, nty = -(-w // tw), -(-h // tw)
+        i = jnp.arange(ntx * nty * tw * tw, dtype=jnp.int32)
+        tile, within = i // (tw * tw), i % (tw * tw)
+        x = (tile % ntx) * tw + within % tw
+        y = (tile // ntx) * tw + within // tw
+        px = x.astype(jnp.float32)
+        py = y.astype(jnp.float32)
+        p = jnp.arange(w * h, dtype=jnp.int32)
+        xx, yy = p % w, p // w
+        unperm = ((yy // tw) * ntx + xx // tw) * (tw * tw) \
+            + (yy % tw) * tw + (xx % tw)
+    else:
+        idx = jnp.arange(w * h, dtype=jnp.int32)
+        px = (idx % w).astype(jnp.float32)
+        py = (idx // w).astype(jnp.float32)
 
     def rays(px2, py2, k):
         r = px2.shape[0]
@@ -140,6 +161,8 @@ def _render_image_mega(mc, tri_tab, chunk_tab, cam, key, n_cells: int,
         o, d = rays(px, py, key)
         comps = mega_trace_flat(mc, tri_tab, chunk_tab, o, d,
                                 interpret=interpret)
+        if tiled:
+            comps = [c[unperm] for c in comps]  # tile order -> scanline
         if as_ldr:
             comps = [
                 jnp.clip(jnp.nan_to_num(c).astype(jnp.int32), 0, 255)

@@ -268,8 +268,9 @@ BRUTE_FORCE_MAX_ITEMS = 2048
 
 # Megakernel geometry ceiling: world-space work items (wi_*) are packed for
 # any scene up to this size so the fused Pallas integrator can keep the whole
-# triangle soup VMEM-resident (16k faces x 16 cols x 4 B = 1 MiB).
-MEGA_MAX_FACES = 16384
+# triangle soup VMEM-resident (96k faces x 16 cols x 4 B = 6 MiB of the
+# ~16 MiB VMEM; chunk culling keeps the sweep cost sublinear).
+MEGA_MAX_FACES = 98304
 
 
 def pack_scene(cfg: SceneConfig) -> ScenePack:

@@ -21,6 +21,7 @@ rate are recorded in BASELINE.md.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -29,6 +30,87 @@ BASELINE_PATHS_PER_S = 800 * 800 / 0.382  # reference CPU, same scene
 
 SCENE = "/root/reference/archive/hw1_inputs/cornellbox_recursive_conductors.xml"
 PIPELINE = 8
+
+
+def main_bwd() -> None:
+    """North-star metric (BASELINE.json): Mrays/s/chip fwd+bwd at 1080p for
+    the differentiable path — value_and_grad of a pixel-MSE loss w.r.t.
+    material colors, light intensities and vertex positions.  The reference
+    has no backward pass at all, so vs_baseline compares against its FORWARD
+    CPU rate (1.675 Mpaths/s) — the honest statement being "a full fwd+bwd
+    step costs this much vs the reference's fwd-only render"."""
+    import jax
+    import jax.numpy as jnp
+
+    from advanced_cpu_raytracing_tpu.diff.params import (
+        extract_params,
+        inject_params,
+    )
+    from advanced_cpu_raytracing_tpu.render.integrator import (
+        RenderOptions,
+        trace_radiance,
+    )
+    from advanced_cpu_raytracing_tpu.render.renderer import _camera_cached
+    from advanced_cpu_raytracing_tpu.scene.pack import pack_scene
+    from advanced_cpu_raytracing_tpu.scene.xml_parser import load_scene
+
+    cfg = load_scene(SCENE)
+    pack = pack_scene(cfg)
+    cam = _camera_cached(cfg.cameras[0])
+    # fixed-trip differentiable wavefront (reverse-mode AD cannot cross
+    # lax.while_loop); 8 iterations covers the conductor chains at depth 6
+    opts = RenderOptions(max_depth=cfg.max_recursion_depth,
+                         differentiable=True, max_iters=8)
+
+    w, h = 1920, 1080
+    n = w * h
+    # reverse-mode AD materializes every loop iteration's intermediates, so a
+    # full 1080p frame is rendered as 8 gradient tiles whose grads sum (the
+    # loss is a sum of per-tile sums)
+    n_tiles = 8
+    tile = n // n_tiles
+    ys, xs = np.divmod(np.arange(n, dtype=np.int64), w)
+    # map 1080p sample grid onto the 800x800 camera plane
+    px_all = jnp.asarray(xs * (800.0 / w), jnp.float32)
+    py_all = jnp.asarray(ys * (800.0 / h), jnp.float32)
+    params = extract_params(pack, ("mat_diffuse", "pl_intensity", "verts"))
+
+    def loss_fn(params, px, py, key):
+        p = inject_params(pack, params)
+        img = trace_radiance(p, cam, px, py, key, opts)
+        return jnp.sum(img ** 2) / float(n)
+
+    step = jax.jit(jax.value_and_grad(loss_fn))
+
+    def full_frame(seed):
+        total = 0.0
+        grads = None
+        for t in range(n_tiles):
+            sl = slice(t * tile, (t + 1) * tile)
+            loss, g = step(params, px_all[sl], py_all[sl],
+                           jax.random.PRNGKey(seed * n_tiles + t))
+            total += loss
+            grads = g if grads is None else jax.tree_util.tree_map(
+                jnp.add, grads, g)
+        jax.block_until_ready((total, grads))
+        return total, grads
+
+    loss, grads = full_frame(0)
+    assert np.isfinite(float(loss))
+
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        full_frame(1 + i)
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
+    rate = n_tiles * tile / dt
+    print(json.dumps({
+        "metric": "cornellbox_1080p_fwd_bwd_rays_per_s",
+        "value": round(rate / 1e6, 4),
+        "unit": "Mrays/s",
+        "vs_baseline": round(rate / BASELINE_PATHS_PER_S, 3),
+    }))
 
 
 def main() -> None:
@@ -93,4 +175,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--bwd" in sys.argv:
+        main_bwd()
+    else:
+        main()

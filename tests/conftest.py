@@ -120,3 +120,79 @@ def fresh_golden(name: str) -> np.ndarray | None:
     shutil.move(str(produced), out)
     shutil.rmtree(work, ignore_errors=True)
     return np.asarray(Image.open(out).convert("RGB"))
+
+
+def fresh_golden_custom(name: str, xml_text: str, aux_files: dict | None = None):
+    """Render an AUTHORED scene through the freshly-built reference binary.
+
+    The reference ships no scenes for PT / textures / DoF / tonemap /
+    spot+directional lights (SURVEY.md section 0.2), so cross-validation
+    scenes are authored here, rendered by the reference's own compiled code,
+    and cached.  ``aux_files`` maps work-dir-relative paths (e.g.
+    "inputs/tex.png") to bytes.  Returns (scene_path, {suffix: ndarray})
+    with the produced .png (uint8 RGB) and .hdr (float RGB) images, or
+    (scene_path, None) when the binary is unavailable.
+    """
+    import shutil
+    import subprocess
+
+    from PIL import Image
+
+    # cache key includes the scene content: re-authored scenes must not hit
+    # a stale oracle
+    import hashlib
+
+    digest = hashlib.sha1(
+        xml_text.encode()
+        + b"".join(sorted((aux_files or {}).keys())[i].encode()
+                   for i in range(len(aux_files or {})))
+    ).hexdigest()[:10]
+    name = f"{name}_{digest}"
+    scene_dir = _GOLDEN_CACHE / "custom_scenes" / name
+    scene_dir.mkdir(parents=True, exist_ok=True)
+    scene_path = scene_dir / f"{name}.xml"
+    scene_path.write_text(xml_text)
+    for rel, data in (aux_files or {}).items():
+        p = scene_dir / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(data)
+
+    out_png = _GOLDEN_CACHE / f"custom_{name}.png"
+    out_hdr = _GOLDEN_CACHE / f"custom_{name}.hdr"
+    failed = _GOLDEN_CACHE / f"custom_{name}.FAILED"
+    if failed.exists():
+        return scene_path, None
+    if not out_png.exists():
+        binary = _reference_binary()
+        if binary is None:
+            return scene_path, None
+        try:
+            subprocess.run([str(binary), scene_path.name], cwd=scene_dir,
+                           check=True, capture_output=True, timeout=300)
+        except Exception:
+            # cache the failure: the reference hangs on some authored scenes
+            # (e.g. tower_smooth at ANY resolution) and re-timing out every
+            # run would dominate the suite
+            failed.write_text("reference binary failed or timed out")
+            return scene_path, None
+        pngs = sorted(scene_dir.glob("*.png"))
+        if not pngs:
+            return scene_path, None
+        for p in pngs:
+            shutil.move(str(p), _GOLDEN_CACHE / f"custom_{name}__{p.name}")
+        shutil.copy(_GOLDEN_CACHE / f"custom_{name}__{pngs[0].name}", out_png)
+        hdrs = list(scene_dir.glob("*.hdr"))
+        if hdrs:
+            shutil.move(str(hdrs[0]), out_hdr)
+
+    result = {"png": np.asarray(Image.open(out_png).convert("RGB"))}
+    # multi-camera scenes: every produced image, keyed by its file name
+    result["pngs"] = {
+        p.name.split("__", 1)[1]: np.asarray(Image.open(p).convert("RGB"))
+        for p in _GOLDEN_CACHE.glob(f"custom_{name}__*.png")
+    }
+    if out_hdr.exists():
+        from advanced_cpu_raytracing_tpu.scene.images import read_hdr
+
+        result["hdr"] = read_hdr(str(out_hdr))
+    return scene_path, result

