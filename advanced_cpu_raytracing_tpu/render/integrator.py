@@ -477,7 +477,12 @@ def trace_radiance(pack: ScenePack, cam, px, py, key, opts: RenderOptions):
     branches = 1 + (1 if opts.path_tracing else 0) + (
         1 if st.has_dielectric and not opts.stochastic_dielectric else 0)
     depth_total = opts.max_depth + (RR_DEPTH_FLOOR if opts.russian_roulette else 0)
-    k_stack = max(branches - 1, 1) * max(depth_total, 1) + 4
+    if branches == 1:
+        # pure specular chains push at most ONE pending child between pops —
+        # a deep stack only wastes one-hot push/pop bandwidth
+        k_stack = 2
+    else:
+        k_stack = (branches - 1) * max(depth_total, 1) + 4
     stack = _make_stack(r, k_stack)
     ones = jnp.ones(r, bool)
     stack = _push(stack, ones, o, d, jnp.ones((r, 3)), jnp.zeros((r, 3)),

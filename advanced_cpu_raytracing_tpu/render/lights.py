@@ -47,6 +47,12 @@ def direct_lighting(pack, surf: Surface, w_o, time, key, skip_mlight=None,
 
     ``skip_mlight`` (R,) holds a mesh-light index to skip for NEE
     double-count suppression (raytracer.cpp:778-781) or -1.
+
+    Shadow rays for ALL lights are batched into ONE occlusion query (a
+    (L*R,)-lane `occluded` call): the intersection work is identical to L
+    serial passes, but fixed per-dispatch costs are paid once and the VPU
+    stays saturated.  The reference scans lights serially per shading point
+    (SampleDirectLighting, raytracer.cpp:701-806).
     """
     st = pack.static
     r = surf.point.shape[0]
@@ -62,15 +68,29 @@ def direct_lighting(pack, surf: Surface, w_o, time, key, skip_mlight=None,
     ks = specular_reflectance(
         pack, surf, None if mat_rows is None else mat_rows.specular)
 
-    # ---- point lights (raytracer.cpp:706-718) ----
-    for i in range(st.n_point):
-        lp = jnp.broadcast_to(pack.pl_pos[i], (r, 3))
-        blocked, w_i, dist = _shadow_query(pack, surf, lp, time, allow_pallas)
-        irr = pack.pl_intensity[i] / jnp.maximum(dist * dist, 1e-20)[:, None]
-        contrib = shade(pack, surf, w_i, w_o, irr, kd, ks, mat_rows)
-        total = total + jnp.where(blocked[:, None], 0.0, contrib)
+    shadow_o = surf.point + surf.normal * pack.shadow_eps
 
-    # ---- area lights (raytracer.cpp:720-740, areaLight.h:34-41) ----
+    # ---- phase 1: per-light sample directions + unoccluded irradiance ----
+    w_is = []  # each (R,3) unit towards the light
+    limits = []  # each (R,) occlusion distance
+    irrs = []  # each (R,3) irradiance if unblocked
+    gates = []  # each (R,) bool: contribution allowed at all
+
+    def towards(target):
+        v = target - surf.point
+        dist = length(v)
+        return v / jnp.maximum(dist, 1e-20)[:, None], dist
+
+    # point lights (raytracer.cpp:706-718)
+    for i in range(st.n_point):
+        w_i, dist = towards(jnp.broadcast_to(pack.pl_pos[i], (r, 3)))
+        w_is.append(w_i)
+        limits.append(dist)
+        irrs.append(pack.pl_intensity[i]
+                    / jnp.maximum(dist * dist, 1e-20)[:, None])
+        gates.append(jnp.ones(r, bool))
+
+    # area lights (raytracer.cpp:720-740, areaLight.h:34-41)
     for i in range(st.n_area):
         key, sub = jax.random.split(key)
         offs = jax.random.uniform(sub, (r, 2), minval=-0.5, maxval=0.5)
@@ -79,51 +99,39 @@ def direct_lighting(pack, surf: Surface, w_o, time, key, skip_mlight=None,
             + pack.al_u[i] * (pack.al_extent[i] * offs[:, 0:1])
             + pack.al_v[i] * (pack.al_extent[i] * offs[:, 1:2])
         )
-        blocked, w_i, dist = _shadow_query(pack, surf, sample_pos, time, allow_pallas)
+        w_i, dist = towards(sample_pos)
         l_cos = dot(jnp.broadcast_to(pack.al_normal[i], (r, 3)), -w_i)
         l_cos = jnp.where(l_cos < 0, -l_cos, l_cos)  # two-sided (733-736)
-        irr = pack.al_radiance[i] * (
+        w_is.append(w_i)
+        limits.append(dist)
+        irrs.append(pack.al_radiance[i] * (
             pack.al_area[i] * l_cos / jnp.maximum(dist * dist, 1e-20)
-        )[:, None]
-        contrib = shade(pack, surf, w_i, w_o, irr, kd, ks, mat_rows)
-        total = total + jnp.where(blocked[:, None], 0.0, contrib)
+        )[:, None])
+        gates.append(jnp.ones(r, bool))
 
-    # ---- environment lights (raytracer.cpp:741-755): rejection-sampled
-    # upper-hemisphere direction, no shadow ray (reference leaves it TODO),
-    # and w_i passed to Shade is the *surface normal* (line 753). ----
-    for i in range(st.n_env):
-        key, sub = jax.random.split(key)
-        d = _hemisphere_rejection(sub, surf.normal)
-        u = (1.0 + jnp.arctan2(d[:, 0], -d[:, 2]) / PI) / 2.0
-        v = jnp.arccos(jnp.clip(d[:, 1], -1.0, 1.0)) / PI
-        idx = jnp.full(r, pack.env_img[i], jnp.int32)
-        irr = sample_nearest(pack.img_atlas, pack.img_w, pack.img_h, idx, u, v) * (2.0 * PI)
-        contrib = shade(pack, surf, surf.normal, w_o, irr, kd, ks, mat_rows)
-        total = total + contrib
-
-    # ---- directional lights (raytracer.cpp:757-765): shadow ray to infinity ----
+    # directional lights (raytracer.cpp:757-765): shadow ray to infinity
     for i in range(st.n_directional):
-        w_i = jnp.broadcast_to(-pack.dl_dir[i], (r, 3))
-        o = surf.point + surf.normal * pack.shadow_eps
-        blocked = occluded(pack, o, w_i, jnp.full(r, jnp.inf), time,
-                           allow_pallas)
-        irr = jnp.broadcast_to(pack.dl_radiance[i], (r, 3))
-        contrib = shade(pack, surf, w_i, w_o, irr, kd, ks, mat_rows)
-        total = total + jnp.where(blocked[:, None], 0.0, contrib)
+        w_is.append(jnp.broadcast_to(-pack.dl_dir[i], (r, 3)))
+        limits.append(jnp.full(r, jnp.inf))
+        irrs.append(jnp.broadcast_to(pack.dl_radiance[i], (r, 3)))
+        gates.append(jnp.ones(r, bool))
 
-    # ---- spot lights (raytracer.cpp:767-776, spotLight.h:33-57) ----
+    # spot lights (raytracer.cpp:767-776, spotLight.h:33-57)
     for i in range(st.n_spot):
-        lp = jnp.broadcast_to(pack.sl_pos[i], (r, 3))
-        blocked, w_i, dist = _shadow_query(pack, surf, lp, time, allow_pallas)
+        w_i, dist = towards(jnp.broadcast_to(pack.sl_pos[i], (r, 3)))
         to_point = -w_i  # unit vector light -> point
-        cos_alpha = jnp.clip(dot(jnp.broadcast_to(pack.sl_dir[i], (r, 3)), to_point), -1.0, 1.0)
+        cos_alpha = jnp.clip(
+            dot(jnp.broadcast_to(pack.sl_dir[i], (r, 3)), to_point),
+            -1.0, 1.0)
         alpha_deg = jnp.rad2deg(jnp.arccos(cos_alpha))
         irr = pack.sl_intensity[i] / jnp.maximum(dist * dist, 1e-20)[:, None]
         # falloff: ((cos a - cos(cov/2)) / (cos(fall/2) - cos(cov/2)))^4
         s = jnp.power(
             jnp.maximum(
                 (cos_alpha - pack.sl_cos_half_cov[i])
-                / jnp.maximum(pack.sl_cos_half_fall[i] - pack.sl_cos_half_cov[i], 1e-9),
+                / jnp.maximum(
+                    pack.sl_cos_half_fall[i] - pack.sl_cos_half_cov[i],
+                    1e-9),
                 0.0,
             ),
             4.0,
@@ -132,10 +140,12 @@ def direct_lighting(pack, surf: Surface, w_o, time, key, skip_mlight=None,
         irr = jnp.where(in_falloff[:, None], irr * s[:, None], irr)
         outside = (alpha_deg <= 0) | (alpha_deg > pack.sl_coverage_deg[i] / 2.0)
         irr = jnp.where(outside[:, None], 0.0, irr)
-        contrib = shade(pack, surf, w_i, w_o, irr, kd, ks, mat_rows)
-        total = total + jnp.where(blocked[:, None], 0.0, contrib)
+        w_is.append(w_i)
+        limits.append(dist)
+        irrs.append(irr)
+        gates.append(jnp.ones(r, bool))
 
-    # ---- mesh lights (raytracer.cpp:778-803, meshLight.h:27-50) ----
+    # mesh lights (raytracer.cpp:778-803, meshLight.h:27-50)
     for i in range(st.n_mesh_lights):
         key, k1, k2 = jax.random.split(key, 3)
         fsel = jax.random.randint(
@@ -152,15 +162,49 @@ def direct_lighting(pack, surf: Surface, w_o, time, key, skip_mlight=None,
         pos = a * (1 - sq) + q * sq
         ent = pack.ml_ent[i]
         pos = transform_point(pack.ent_fwd[ent], pos)
-        l_nrm = pack.tri_normal[fsel]  # object-space, untransformed (meshLight.h:47)
 
-        blocked, w_i, dist = _shadow_query(pack, surf, pos, time, allow_pallas)
-        l_cos = dot(l_nrm, -w_i)
-        l_cos = jnp.where(l_cos < 0, -l_cos, l_cos)
-        rad = pack.ml_radiance[i] * (weight * 2.0 * PI)[:, None]
-        contrib = shade(pack, surf, w_i, w_o, rad, kd, ks, mat_rows)
-        skip = jnp.zeros(r, bool) if skip_mlight is None else (skip_mlight == i)
-        total = total + jnp.where((blocked | skip)[:, None], 0.0, contrib)
+        w_i, dist = towards(pos)
+        # (the reference computes but never applies the meshlight cosine —
+        # its irradiance is radiance*weight*2pi, raytracer.cpp:800)
+        skip = (jnp.zeros(r, bool) if skip_mlight is None
+                else (skip_mlight == i))
+        w_is.append(w_i)
+        limits.append(dist)
+        irrs.append(pack.ml_radiance[i] * (weight * 2.0 * PI)[:, None])
+        gates.append(~skip)
+
+    # ---- phase 2: ONE occlusion sweep over all (light, ray) pairs ----
+    n_shadow = len(w_is)
+    if n_shadow == 1:
+        blocked_all = occluded(pack, shadow_o, w_is[0], limits[0], time,
+                               allow_pallas)[None]
+    elif n_shadow > 1:
+        big_o = jnp.tile(shadow_o, (n_shadow, 1))
+        big_d = jnp.concatenate(w_is, axis=0)
+        big_lim = jnp.concatenate(limits, axis=0)
+        big_t = jnp.tile(time, n_shadow)
+        blocked_all = occluded(pack, big_o, big_d, big_lim, big_t,
+                               allow_pallas).reshape(n_shadow, r)
+
+    # ---- phase 3: shading per light (cheap, elementwise) ----
+    for li in range(n_shadow):
+        contrib = shade(pack, surf, w_is[li], w_o, irrs[li], kd, ks, mat_rows)
+        ok = gates[li] & ~blocked_all[li]
+        total = total + jnp.where(ok[:, None], contrib, 0.0)
+
+    # ---- environment lights (raytracer.cpp:741-755): rejection-sampled
+    # upper-hemisphere direction, no shadow ray (reference leaves it TODO),
+    # and w_i passed to Shade is the *surface normal* (line 753). ----
+    for i in range(st.n_env):
+        key, sub = jax.random.split(key)
+        d = _hemisphere_rejection(sub, surf.normal)
+        u = (1.0 + jnp.arctan2(d[:, 0], -d[:, 2]) / PI) / 2.0
+        v = jnp.arccos(jnp.clip(d[:, 1], -1.0, 1.0)) / PI
+        idx = jnp.full(r, pack.env_img[i], jnp.int32)
+        irr = sample_nearest(pack.img_atlas, pack.img_w, pack.img_h,
+                             idx, u, v) * (2.0 * PI)
+        contrib = shade(pack, surf, surf.normal, w_o, irr, kd, ks, mat_rows)
+        total = total + contrib
 
     return total
 

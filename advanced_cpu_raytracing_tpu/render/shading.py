@@ -243,7 +243,13 @@ def _apply_bump_normal_maps(pack: ScenePack, st, kind, hit: Hit, point, uv,
 
 
 def surface_at(pack: ScenePack, o, d, time, hit: Hit) -> Surface:
-    """Reconstruct world-space surface state at the hit."""
+    """Reconstruct world-space surface state at the hit.
+
+    Gathers are ~1.5-3 ms EACH at 640k lanes on TPU, so per-hit state comes
+    from ONE gather per source table (face / entity / sphere blobs
+    concatenated in-jit — the concats are tiny (rows x cols) device ops and
+    keep autodiff wiring intact) instead of one gather per field.
+    """
     st = pack.static
     r = o.shape[0]
     # miss lanes carry t = inf; zero them so masked lanes never materialize
@@ -255,7 +261,7 @@ def surface_at(pack: ScenePack, o, d, time, hit: Hit) -> Surface:
     ent = jnp.clip(hit.index, 0, max(st.n_entities - 1, 0))
     sph = jnp.clip(hit.index, 0, max(st.n_spheres - 1, 0))
 
-    # --- triangle branch ---
+    # --- triangle branch: normal + entity row in one gather each ---
     n_obj_tri = pack.tri_normal[hit.face]
     if st.has_uv or st.n_textures > 0:
         uv_tri, has_uv, uv012 = _gather_tri_uv(pack, hit.face, hit.beta,
@@ -264,16 +270,41 @@ def surface_at(pack: ScenePack, o, d, time, hit: Hit) -> Surface:
         # gathers elided at compile time for untextured scenes
         uv_tri = jnp.zeros((r, 2))
         uv012 = (uv_tri, uv_tri, uv_tri)
-    nrm_ent = pack.ent_nrm[ent]
+    e_cols = [pack.ent_nrm.reshape(-1, 9),
+              pack.ent_material.astype(jnp.float32)[:, None],
+              pack.ent_mlight.astype(jnp.float32)[:, None]]
+    if st.n_textures > 0:
+        e_cols.append(pack.ent_tex.astype(jnp.float32))
+    e_row = jnp.concatenate(e_cols, axis=1)[ent]
+    nrm_ent = e_row[:, 0:9].reshape(-1, 3, 3)
+    ent_material = e_row[:, 9].astype(jnp.int32)
+    ent_mlight = e_row[:, 10].astype(jnp.int32)
+    ent_tex = (e_row[:, 11:16].astype(jnp.int32) if st.n_textures > 0
+               else None)
 
     # --- sphere branch: recompute local hit (sphere.cpp:66-92) ---
     if st.n_spheres > 0:
-        o_l, d_l = transform_ray(pack.sph_minv[sph], o, d)
+        s_cols = [pack.sph_minv.reshape(-1, 12),
+                  pack.sph_nrm.reshape(-1, 9),
+                  pack.sph_center, pack.sph_radius[:, None],
+                  pack.sph_material.astype(jnp.float32)[:, None],
+                  pack.sph_motion]
+        if st.n_textures > 0:
+            s_cols.append(pack.sph_tex.astype(jnp.float32))
+        s_row = jnp.concatenate(s_cols, axis=1)[sph]
+        sph_minv = s_row[:, 0:12].reshape(-1, 3, 4)
+        nrm_sph = s_row[:, 12:21].reshape(-1, 3, 3)
+        sph_center = s_row[:, 21:24]
+        radius = s_row[:, 24]
+        sph_material = s_row[:, 25].astype(jnp.int32)
+        sph_motion = s_row[:, 26:29]
+        sph_tex = (s_row[:, 29:34].astype(jnp.int32) if st.n_textures > 0
+                   else None)
+        o_l, d_l = transform_ray(sph_minv, o, d)
         if st.has_motion:
-            o_l = o_l + pack.sph_motion[sph] * time[:, None]
+            o_l = o_l + sph_motion * time[:, None]
         p_local = o_l + d_l * t_eff[:, None]
-        p_rel = p_local - pack.sph_center[sph]
-        radius = pack.sph_radius[sph]
+        p_rel = p_local - sph_center
         if st.n_textures > 0:
             phi = jnp.arctan2(p_rel[:, 2], p_rel[:, 0])
             # clip strictly inside (-1, 1): arccos' gradient is infinite at
@@ -286,7 +317,6 @@ def surface_at(pack: ScenePack, o, d, time, hit: Hit) -> Surface:
             theta = jnp.zeros(r)
             uv_sph = jnp.zeros((r, 2))
         n_obj_sph = normalize(p_rel, eps=1e-20)
-        nrm_sph = pack.sph_nrm[sph]
     else:
         p_rel = jnp.zeros((r, 3))
         radius = jnp.ones(r)
@@ -294,17 +324,21 @@ def surface_at(pack: ScenePack, o, d, time, hit: Hit) -> Surface:
         theta = jnp.zeros(r)
         uv_sph = jnp.zeros((r, 2))
         n_obj_sph = jnp.zeros((r, 3))
+        sph_material = jnp.zeros(r, jnp.int32)
+        sph_tex = None
         nrm_sph = jnp.broadcast_to(jnp.eye(3), (r, 3, 3))
 
     n_obj = jnp.where(is_tri[:, None], n_obj_tri, n_obj_sph)
     uv = jnp.where(is_tri[:, None], uv_tri, uv_sph)
-    if st.n_textures > 0:
-        tex = jnp.where(is_tri[:, None], pack.ent_tex[ent], pack.sph_tex[sph])
+    if st.n_textures > 0 and sph_tex is not None:
+        tex = jnp.where(is_tri[:, None], ent_tex, sph_tex)
+    elif st.n_textures > 0:
+        tex = ent_tex
     else:
         tex = jnp.full((r, 5), -1, jnp.int32)
-    mat = jnp.where(is_tri, pack.ent_material[ent], pack.sph_material[sph])
+    mat = jnp.where(is_tri, ent_material, sph_material)
     if st.n_mesh_lights > 0:
-        mlight = jnp.where(is_tri, pack.ent_mlight[ent], -1)
+        mlight = jnp.where(is_tri, ent_mlight, -1)
     else:
         mlight = jnp.full(r, -1, jnp.int32)
 
