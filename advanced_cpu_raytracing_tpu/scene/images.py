@@ -36,13 +36,133 @@ def load_image(path: str) -> tuple[np.ndarray, bool]:
 
 
 def load_exr(path: str) -> np.ndarray:
-    import imageio.v2 as imageio
+    try:
+        # built-in reader first: handles uncompressed scanline files exactly,
+        # and this environment's imageio has no real EXR plugin (its spe
+        # plugin mis-claims .exr files)
+        data = read_exr(path)
+    except Exception:
+        import imageio.v2 as imageio
 
-    data = np.asarray(imageio.imread(path), dtype=np.float32)
+        data = np.asarray(imageio.imread(path), dtype=np.float32)
     if data.ndim == 2:
         data = np.stack([data] * 3, axis=-1)
     # RGBA -> RGB, mirroring HDRImage's RGBA->RGB repack (src/HDRImage.h:58-66)
     return np.ascontiguousarray(data[..., :3])
+
+
+def write_exr(path: str, rgb: np.ndarray) -> None:
+    """Write (H,W,3) float32 as a minimal OpenEXR 2.0 file: single part,
+    scanline storage, NO_COMPRESSION, FLOAT channels.
+
+    The capability the reference gets from tinyexr (decode only,
+    src/HDRImage.h:45-70) plus the encode side it lacks; tinyexr reads this
+    output (verified by the env-light cross-validation test).
+    """
+    import struct
+
+    rgb = np.asarray(rgb, np.float32)
+    h, w, _ = rgb.shape
+
+    def attr(name: str, typ: str, value: bytes) -> bytes:
+        return (name.encode() + b"\0" + typ.encode() + b"\0"
+                + struct.pack("<i", len(value)) + value)
+
+    # channels MUST be sorted by name: B, G, R
+    ch = b""
+    for name in (b"B", b"G", b"R"):
+        ch += name + b"\0" + struct.pack("<i", 2) + b"\0\0\0\0" \
+            + struct.pack("<ii", 1, 1)
+    ch += b"\0"
+    box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
+    header = (
+        struct.pack("<i", 20000630) + struct.pack("<i", 2)
+        + attr("channels", "chlist", ch)
+        + attr("compression", "compression", b"\0")
+        + attr("dataWindow", "box2i", box)
+        + attr("displayWindow", "box2i", box)
+        + attr("lineOrder", "lineOrder", b"\0")
+        + attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
+        + attr("screenWindowCenter", "v2f", struct.pack("<ff", 0.0, 0.0))
+        + attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+        + b"\0"
+    )
+    row_bytes = 8 + w * 3 * 4  # y + size prefix + BGR float rows
+    table_start = len(header)
+    data_start = table_start + 8 * h
+    offsets = struct.pack("<%dQ" % h,
+                          *[data_start + y * row_bytes for y in range(h)])
+    with open(path, "wb") as f:
+        f.write(header)
+        f.write(offsets)
+        for y in range(h):
+            f.write(struct.pack("<ii", y, w * 3 * 4))
+            f.write(rgb[y, :, 2].tobytes())  # B
+            f.write(rgb[y, :, 1].tobytes())  # G
+            f.write(rgb[y, :, 0].tobytes())  # R
+
+
+def read_exr(path: str) -> np.ndarray:
+    """Minimal OpenEXR reader: single-part uncompressed scanline images with
+    HALF or FLOAT channels (covers write_exr output and tinyexr's
+    NO_COMPRESSION files)."""
+    import struct
+
+    with open(path, "rb") as f:
+        raw = f.read()
+    if struct.unpack_from("<i", raw, 0)[0] != 20000630:
+        raise ValueError("not an EXR file")
+    pos = 8
+    channels: list[tuple[str, int]] = []
+    compression = 0
+    dw = (0, 0, 0, 0)
+    while raw[pos] != 0:
+        e = raw.index(b"\0", pos)
+        name = raw[pos:e].decode()
+        pos = e + 1
+        e = raw.index(b"\0", pos)
+        pos = e + 1
+        size = struct.unpack_from("<i", raw, pos)[0]
+        pos += 4
+        val = raw[pos:pos + size]
+        pos += size
+        if name == "channels":
+            cp = 0
+            while val[cp] != 0:
+                ce = val.index(b"\0", cp)
+                cname = val[cp:ce].decode()
+                ptype = struct.unpack_from("<i", val, ce + 1)[0]
+                channels.append((cname, ptype))
+                cp = ce + 1 + 16
+        elif name == "compression":
+            compression = val[0]
+        elif name == "dataWindow":
+            dw = struct.unpack("<iiii", val)
+    pos += 1  # header terminator
+    if compression != 0:
+        raise ValueError("only NO_COMPRESSION EXR files supported")
+    w = dw[2] - dw[0] + 1
+    h = dw[3] - dw[1] + 1
+    pos += 8 * h  # skip the offset table; blocks follow in order
+    planes: dict[str, np.ndarray] = {
+        c: np.zeros((h, w), np.float32) for c, _ in channels}
+    for _ in range(h):
+        y = struct.unpack_from("<i", raw, pos)[0] - dw[1]
+        pos += 8
+        for cname, ptype in channels:  # chlist order == file order
+            if ptype == 2:  # FLOAT
+                row = np.frombuffer(raw, "<f4", w, pos)
+                pos += 4 * w
+            elif ptype == 1:  # HALF
+                row = np.frombuffer(raw, "<f2", w, pos).astype(np.float32)
+                pos += 2 * w
+            else:
+                raise ValueError("UINT channels unsupported")
+            planes[cname][y] = row
+    if all(k in planes for k in ("R", "G", "B")):
+        return np.stack([planes["R"], planes["G"], planes["B"]], axis=-1)
+    first = planes[channels[0][0]]
+    return np.stack([first] * 3, axis=-1)
 
 
 def write_png(path: str, rgb_u8: np.ndarray) -> None:

@@ -463,3 +463,69 @@ def test_path_tracing_russian_roulette_self_consistency():
     # depth 4 by 8 survival-weighted bounces)
     assert abs(rr.mean() - deep.mean()) / max(deep.mean(), 1.0) < 0.05
 
+
+
+def test_environment_light_vs_reference():
+    """HDR spherical environment light (SphericalDirectionalLight): the env
+    EXR is authored with scene/images.py::write_exr and decoded by the
+    reference's vendored tinyexr.  Background lookups are deterministic
+    (direction -> lat-long texel); surface shading uses one rejection-sampled
+    hemisphere direction per point (different RNG streams), so surface areas
+    compare in block means."""
+    import io as _io
+
+    import numpy as np
+
+    from advanced_cpu_raytracing_tpu.scene.images import write_exr
+
+    # smooth gradient + a bright band so direction errors are visible
+    h, w = 32, 64
+    ys, xs = np.mgrid[0:h, 0:w]
+    env = np.stack([
+        1.0 + 3.0 * xs / w,
+        0.5 + 2.0 * ys / h,
+        2.0 + np.where((ys > 8) & (ys < 14), 6.0, 0.0),
+    ], axis=-1).astype(np.float32)
+    buf = _io.BytesIO()
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".exr", delete=False) as f:
+        write_exr(f.name, env)
+        exr_bytes = open(f.name, "rb").read()
+
+    name = "feat_env"
+    xml = f"""<Scene>
+  <BackgroundColor>0 0 0</BackgroundColor>
+  <MaxRecursionDepth>2</MaxRecursionDepth>
+  {CAM.format(pos="0 1 4", gaze="0 -0.1 -1", name=name, extra="")}
+  <Lights>
+    <AmbientLight>5 5 5</AmbientLight>
+    <SphericalDirectionalLight id="1">
+      <ImageId>1</ImageId>
+    </SphericalDirectionalLight>
+  </Lights>
+  <Materials>
+    <Material id="1"><AmbientReflectance>1 1 1</AmbientReflectance>
+      <DiffuseReflectance>0.6 0.6 0.6</DiffuseReflectance>
+      <SpecularReflectance>0.2 0.2 0.2</SpecularReflectance>
+      <PhongExponent>20</PhongExponent></Material>
+  </Materials>
+  <Textures>
+    <Images><Image id="1">env.exr</Image></Images>
+  </Textures>
+  <VertexData>
+    -6 -1 4   6 -1 4   6 -1 -8   -6 -1 -8
+    0 0 -2
+  </VertexData>
+  <Objects>
+    <Mesh id="1"><Material>1</Material><Faces>1 2 3  1 3 4</Faces></Mesh>
+    <Sphere id="1"><Material>1</Material><Center>5</Center>
+      <Radius>1.0</Radius></Sphere>
+  </Objects>
+</Scene>"""
+    scene_path, gold = fresh_golden_custom(
+        name, xml, aux_files={"inputs/env.exr": exr_bytes})
+    _skip_if_none(gold)
+    ours, _ = _render_ours(scene_path)
+    # MC surface sampling: block means; background pixels are deterministic
+    _mc(ours, gold["png"], block_tol=6.0)
