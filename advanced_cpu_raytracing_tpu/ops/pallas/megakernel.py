@@ -57,6 +57,7 @@ BIG = 3.0e37  # sentinel "no hit" distance (plain float: jnp scalars would be
 _MIRROR = int(MaterialType.MIRROR)
 _DIELECTRIC = int(MaterialType.DIELECTRIC)
 _CONDUCTOR = int(MaterialType.CONDUCTOR)
+_EMISSIVE = int(MaterialType.EMISSIVE)
 
 
 # Faces per culling chunk: consecutive faces in BVH depth-first order (the
@@ -76,7 +77,7 @@ class MegaConsts:
     #              center 3, radius, mat_index)
     spheres: tuple
     # per material: (type, ambient3, diffuse3, specular3, mirror3, phong,
-    #                ior, cond_k, absorb3)
+    #                ior, cond_k, absorb3, radiance3)
     materials: tuple
     point_lights: tuple  # of (pos3, intensity3)
     dir_lights: tuple  # of (unit_to_light3, radiance3)
@@ -89,13 +90,25 @@ class MegaConsts:
     has_conductor: bool
     stack_k: int
     max_iters: int
+    # ---- path tracing / emissive extensions ----
+    pt: bool = False
+    pt_importance: bool = False
+    pt_nee: bool = False
+    pt_rr: bool = False
+    rr_floor: int = 8
+    has_emissive: bool = False
+    # per mesh light: (radiance3, faces: tuple of (tri_row:int, weight:float))
+    mesh_lights: tuple = ()
+    # draw randoms from a host-supplied table instead of the on-chip PRNG
+    # (pltpu.prng_* has no interpret-mode lowering -> CPU tests use this)
+    host_rng: bool = False
+    n_draws: int = 0  # randoms consumed per loop iteration (table layout)
 
 
-def mega_eligible(static, opts) -> bool:
+def mega_eligible(static, opts, pack=None) -> bool:
     """Static feature gate for the fused kernel (see module docstring)."""
-    return (
-        not opts.path_tracing
-        and not opts.differentiable
+    base = (
+        not opts.differentiable
         # all triangle geometry must fit the VMEM work-item table (sphere-only
         # scenes qualify with an empty one)
         and (static.n_faces == 0 or static.n_work_items > 0)
@@ -105,34 +118,56 @@ def mega_eligible(static, opts) -> bool:
         and static.n_env == 0
         and static.n_area == 0
         and static.n_spot == 0
-        and static.n_mesh_lights == 0
         and not static.has_motion
         and not static.has_rough
-        and not static.has_emissive_mat
         and static.n_spheres <= 8
         # materials are unrolled masked selects (~17 scalar fields each);
         # the contributor golden scenes go up to 103 materials
         and static.n_materials <= 128
         and opts.max_depth <= 10
+        # mesh lights: the NEE face loop unrolls per face
+        and static.n_mesh_lights <= 4
     )
+    if not base:
+        return False
+    if pack is not None and static.n_mesh_lights > 0:
+        import numpy as _np
+
+        if int(_np.asarray(pack.ml_face_count).max()) > 32:
+            return False
+    if opts.path_tracing:
+        # PT envelope: diffuse + emissive materials only (specular PT scenes
+        # fall back to the jnp wavefront) -> the GI bounce is the lane's
+        # CONTINUATION and no stack is needed
+        return (not static.has_mirror and not static.has_dielectric
+                and not static.has_conductor)
+    return True
 
 
-def build_mega(pack, max_depth: int):
+def build_mega(pack, opts, host_rng: bool = False):
     """Extract (MegaConsts, tri_table, chunk_table) from a ScenePack.
 
     tri_table is (Tpad, 16) f32: v0(0:3) v1(3:6) v2(6:9) n_world(9:12)
-    mat(12) pad(13:16).  chunk_table is (n_chunks, 8) f32: bbox min(0:3)
-    max(3:6) over each CHUNK consecutive faces.
+    mat(12) mlight(13) emissive(14) pad(15).  chunk_table is (n_chunks, 8)
+    f32: bbox min(0:3) max(3:6) over each CHUNK consecutive faces.
+    ``opts`` is the RenderOptions the render will use (PT flags + depth).
     """
     st = pack.static
+    max_depth = opts.max_depth
     w = st.n_work_items
     tab = np.zeros((max(w, 1), 16), np.float32)
+    tab[:, 13] = -1.0
     if w:
         tab[:, 0:3] = np.asarray(pack.wi_v0)[:w]
         tab[:, 3:6] = np.asarray(pack.wi_v1)[:w]
         tab[:, 6:9] = np.asarray(pack.wi_v2)[:w]
         tab[:, 9:12] = np.asarray(pack.wi_normal)[:w]
         tab[:, 12] = np.asarray(pack.wi_mat)[:w].astype(np.float32)
+        wi_ent = np.asarray(pack.wi_ent)[:w]
+        tab[:, 13] = np.asarray(pack.ent_mlight)[wi_ent].astype(np.float32)
+        mtypes = np.asarray(pack.mat_type)
+        tab[:, 14] = (mtypes[np.asarray(pack.wi_mat)[:w]]
+                      == _EMISSIVE).astype(np.float32)
 
     n_chunks = max((w + CHUNK - 1) // CHUNK, 1)
     ctab = np.zeros((n_chunks, 8), np.float32)
@@ -168,7 +203,27 @@ def build_mega(pack, max_depth: int):
             float(np.asarray(pack.mat_ior)[i]),
             float(np.asarray(pack.mat_cond_k)[i]),
             tup(np.asarray(pack.mat_absorption)[i]),
+            tup(np.asarray(pack.mat_radiance)[i]),
         ))
+
+    # mesh lights: each face as (row in the tri table, area weight) so the
+    # NEE loop can unroll with scalar constants (MeshLight::SampleRandomPoint,
+    # meshLight.h:27-50; weight = faceArea/surfaceArea in object space)
+    mesh_lights = []
+    if st.n_mesh_lights and w:
+        wi_ent_np = np.asarray(pack.wi_ent)[:w]
+        wi_face_np = np.asarray(pack.wi_face)[:w]
+        tri_area_np = np.asarray(pack.tri_area)
+        for i in range(st.n_mesh_lights):
+            ent = int(np.asarray(pack.ml_ent)[i])
+            area = float(np.asarray(pack.ml_area)[i])
+            rows = np.where(wi_ent_np == ent)[0]
+            faces = tuple(
+                (int(rw), float(tri_area_np[wi_face_np[rw]] / max(area, 1e-20)))
+                for rw in rows
+            )
+            mesh_lights.append(
+                (tup(np.asarray(pack.ml_radiance)[i]), faces))
 
     plights = tuple(
         (tup(np.asarray(pack.pl_pos)[i]), tup(np.asarray(pack.pl_intensity)[i]))
@@ -180,12 +235,21 @@ def build_mega(pack, max_depth: int):
         d = -d / max(np.linalg.norm(d), 1e-30)  # unit vector TOWARD the light
         dlights.append((tup(d), tup(np.asarray(pack.dl_radiance)[i])))
 
-    if st.has_dielectric:
+    rr_floor = 8
+    if opts.path_tracing:
+        # eligible PT scenes are diffuse+emissive only: the GI bounce is the
+        # lane's continuation, so iterations track the chain length
+        max_iters = max_depth + (rr_floor if opts.russian_roulette else 0) + 2
+        stack_k = 0
+    elif st.has_dielectric:
         max_iters = min(2 ** (max_depth + 1), 4096) + 4
         stack_k = max_depth + 2
     else:
         max_iters = max_depth + 2
         stack_k = 0
+
+    n_draws = 3 + 3 * len(mesh_lights) \
+        if (opts.path_tracing or mesh_lights) else 0
 
     mc = MegaConsts(
         n_tri=w,
@@ -202,6 +266,15 @@ def build_mega(pack, max_depth: int):
         has_conductor=st.has_conductor,
         stack_k=stack_k,
         max_iters=max_iters,
+        pt=bool(opts.path_tracing),
+        pt_importance=bool(opts.importance_sampling),
+        pt_nee=bool(opts.next_event_estimation),
+        pt_rr=bool(opts.russian_roulette),
+        rr_floor=rr_floor,
+        has_emissive=st.has_emissive_mat,
+        mesh_lights=tuple(mesh_lights),
+        host_rng=host_rng,
+        n_draws=n_draws,
     )
     return mc, jnp.asarray(tab), jnp.asarray(ctab)
 
@@ -212,7 +285,8 @@ def build_mega(pack, max_depth: int):
 
 
 def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
-            chunk_ref, lx_ref, ly_ref, lz_ref, *, mc: MegaConsts):
+            chunk_ref, seed_ref, rng_ref, lx_ref, ly_ref, lz_ref,
+            *, mc: MegaConsts):
     shape = (ROWS, LANES)
     ZERO = jnp.zeros(shape, jnp.float32)
     ONE = jnp.ones(shape, jnp.float32)
@@ -229,6 +303,41 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         safe = jnp.where(pos, base, 1.0)
         val = jnp.exp(e * jnp.log(safe))
         return jnp.where(pos, val, jnp.where(e == 0.0, 1.0, 0.0))
+
+    needs_rng = mc.pt or len(mc.mesh_lights) > 0
+    if needs_rng and not mc.host_rng:
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+
+    def rnd(it, slot: int):
+        """One uniform [0,1) draw per lane.  Compiled: on-chip PRNG (draw
+        order irrelevant).  host_rng (interpret/tests): indexed from the
+        pre-generated table by (iteration, slot)."""
+        if mc.host_rng:
+            idx = jnp.minimum(it, mc.max_iters - 1) * mc.n_draws + slot
+            return rng_ref[idx]
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
+        return (bits & jnp.int32(0x7FFFFF)).astype(jnp.float32) \
+            * (1.0 / (1 << 23))
+
+    def onb(nx, ny, nz):
+        """Axis-swap orthonormal basis (GetOrthonormalBasis,
+        helperMath.cpp:59-85; matches utils/math3d.py tie-breaking)."""
+        ax, ay, az = jnp.abs(nx), jnp.abs(ny), jnp.abs(nz)
+        use_x = (ax < ay) & (ax < az)
+        use_y = (~(ax < ay)) & (ay < az)
+        use_z = ~(use_x | use_y)
+        rpx = jnp.where(use_x, 1.0, nx)
+        rpy = jnp.where(use_y, 1.0, ny)
+        rpz = jnp.where(use_z, 1.0, nz)
+        # u = unit(r' x n), v = unit(n x u)
+        ux = rpy * nz - rpz * ny
+        uy = rpz * nx - rpx * nz
+        uz = rpx * ny - rpy * nx
+        ux, uy, uz = norm3(ux, uy, uz)
+        vx_ = ny * uz - nz * uy
+        vy_ = nz * ux - nx * uz
+        vz_ = nx * uy - ny * ux
+        return (ux, uy, uz), norm3(vx_, vy_, vz_)
 
     def sphere_local(s, px, py, pz, vx, vy, vz, is_point):
         """Apply sphere s's packed world->object transform."""
@@ -352,10 +461,11 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         Inactive lanes start with reject distance 0, so they never keep a
         culling chunk alive — as a block's shading tree dies down, whole
         triangle chunks stop being swept."""
-        init = (jnp.where(active, BIG, 0.0), ZERO, ZERO, ONE, ZERO)
+        init = (jnp.where(active, BIG, 0.0), ZERO, ZERO, ONE, ZERO,
+                jnp.full(shape, -1.0))
 
         def body(ti, carry):
-            t_b, nx, ny, nz, mf = carry
+            t_b, nx, ny, nz, mf, ml = carry
             t, valid = tri_hit(ti, px, py, pz, vx, vy, vz)
             better = valid & (t < t_b)
             return (
@@ -364,12 +474,13 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
                 jnp.where(better, tri_ref[ti, 10], ny),
                 jnp.where(better, tri_ref[ti, 11], nz),
                 jnp.where(better, tri_ref[ti, 12], mf),
+                jnp.where(better, tri_ref[ti, 13], ml),
             )
 
         if mc.n_tri > 0:
             init = chunk_sweep(px, py, pz, vx, vy, vz, body, init,
                                live_of=lambda c: c[0])
-        t_b, nx, ny, nz, mf = init
+        t_b, nx, ny, nz, mf, ml = init
         for s in mc.spheres:
             t, valid, nwx, nwy, nwz = sphere_hit(s, px, py, pz, vx, vy, vz)
             better = valid & (t < t_b) & active
@@ -378,9 +489,10 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             ny = jnp.where(better, nwy, ny)
             nz = jnp.where(better, nwz, nz)
             mf = jnp.where(better, float(s[4]), mf)
+            ml = jnp.where(better, -1.0, ml)
         hit = t_b < (BIG * 0.5)
         nx, ny, nz = norm3(nx, ny, nz)
-        return t_b, nx, ny, nz, mf, hit
+        return t_b, nx, ny, nz, mf, ml, hit
 
     def shadow(px, py, pz, vx, vy, vz, limit, gate):
         """Occlusion along unit direction v up to `limit` for lanes in
@@ -391,6 +503,9 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         "already blocked" so they never keep a culling chunk alive."""
         def body(ti, blocked):
             t, valid = tri_hit(ti, px, py, pz, vx, vy, vz)
+            if mc.has_emissive:
+                # CastShadowRay skips emissive meshes (raytracer.cpp:590-593)
+                valid = valid & (tri_ref[ti, 14] < 0.5)
             return jnp.maximum(
                 blocked, jnp.where(valid & (t < limit), 1.0, 0.0))
 
@@ -464,7 +579,8 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             (sp, s_ox, s_oy, s_oz, s_dx, s_dy, s_dz, s_wx, s_wy, s_wz,
              s_ax, s_ay, s_az, s_med, s_dep) = c[19:]
 
-        t, nx, ny, nz, matf, hitv = trace(cox, coy, coz, cdx, cdy, cdz, cact)
+        t, nx, ny, nz, matf, mlf, hitv = trace(cox, coy, coz, cdx, cdy, cdz,
+                                               cact)
         hit = hitv & cact
         t_safe = jnp.where(hit, t, 0.0)
 
@@ -488,7 +604,61 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         wox, woy, woz = -cdx, -cdy, -cdz
 
         inside = (cmed > 1.00001) if diel else FALSE
-        lit = hit & (~inside)
+
+        # emissive hit: radiance * 2pi and nothing else (raytracer.cpp:81-84)
+        shadeable = hit
+        if mc.has_emissive:
+            is_em = mat_mask(matf, _EMISSIVE)
+            emx, emy, emz = mat_field3(matf, lambda m: m[9])
+            gate_em = hit & is_em
+            lr = lr + jnp.where(gate_em, cwx * emx * (2.0 * float(np.pi)), 0.0)
+            lg = lg + jnp.where(gate_em, cwy * emy * (2.0 * float(np.pi)), 0.0)
+            lb = lb + jnp.where(gate_em, cwz * emz * (2.0 * float(np.pi)), 0.0)
+            shadeable = hit & (~is_em)
+
+        lit = shadeable & (~inside)
+
+        # ---- path tracing: GI sample + NEE double-count suppression ----
+        # (ComputeGlobalIllumination, raytracer.cpp:135-191; the GI child is
+        # this lane's CONTINUATION — eligible PT scenes are diffuse-only)
+        skip_ml = jnp.full(shape, -1.0)
+        if mc.pt:
+            if mc.pt_rr:
+                maxw = jnp.maximum(cwx, jnp.maximum(cwy, cwz))
+                prob = jnp.clip(maxw, 1e-4, 1.0)
+                kill = (rnd(it, 0) > prob) & (cdep <= 0)
+                gi_alive = shadeable & (~kill) & (cdep > -mc.rr_floor)
+                rr_scale = jnp.where(cdep <= 0, 1.0 / prob, 1.0)
+            else:
+                gi_alive = shadeable & (cdep > 0)
+                rr_scale = ONE
+            r1 = rnd(it, 1)
+            r2 = rnd(it, 2)
+            phi = (2.0 * float(np.pi)) * r1
+            if mc.pt_importance:
+                sin_t = jnp.sqrt(r2)  # theta = asin(sqrt(r2))
+                cos_t = jnp.sqrt(jnp.maximum(1.0 - r2, 0.0))
+            else:
+                cos_t = r2  # theta = acos(r2)
+                sin_t = jnp.sqrt(jnp.maximum(1.0 - r2 * r2, 0.0))
+            (ubx, uby, ubz), (vbx, vby, vbz) = onb(nx, ny, nz)
+            sc = sin_t * jnp.cos(phi)
+            ss = sin_t * jnp.sin(phi)
+            gdx, gdy, gdz = norm3(
+                ubx * sc + nx * cos_t + vbx * ss,
+                uby * sc + ny * cos_t + vby * ss,
+                ubz * sc + nz * cos_t + vbz * ss,
+            )
+            gox = px + nx * 1e-4  # hardcoded GI epsilon (raytracer.cpp:174)
+            goy = py + ny * 1e-4
+            goz = pz + nz * 1e-4
+            # trace the GI ray now: the reference suppresses NEE for the
+            # mesh light its GI ray hit (raytracer.cpp:180-188, 778-781)
+            g_t, _, _, _, _, g_ml, g_hit = trace(gox, goy, goz,
+                                                 gdx, gdy, gdz, gi_alive)
+            g_hit = g_hit & gi_alive
+            if len(mc.mesh_lights) > 0:
+                skip_ml = jnp.where(g_hit & (g_ml >= 0.0), g_ml, -1.0)
 
         # ambient (raytracer.cpp:98-100)
         ambx, amby, ambz = mat_field3(matf, lambda m: m[1])
@@ -504,18 +674,19 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         soy = py + ny * eps
         soz = pz + nz * eps
 
-        def add_light(lr, lg, lb, wix, wiy, wiz, irr_x, irr_y, irr_z, blocked):
+        sample_direct = (not mc.pt) or mc.pt_nee
+
+        def add_light(lr, lg, lb, wix, wiy, wiz, irr_x, irr_y, irr_z, gate):
             cos_t = jnp.maximum(0.0, wix * nx + wiy * ny + wiz * nz)
             hx, hy, hz = norm3(wix + wox, wiy + woy, wiz + woz)
             cos_h = jnp.maximum(0.0, hx * nx + hy * ny + hz * nz)
             spec = powmax(cos_h, phong)
-            gate = lit & (~blocked)
             lr = lr + jnp.where(gate, cwx * irr_x * (kdx * cos_t + ksx * spec), 0.0)
             lg = lg + jnp.where(gate, cwy * irr_y * (kdy * cos_t + ksy * spec), 0.0)
             lb = lb + jnp.where(gate, cwz * irr_z * (kdz * cos_t + ksz * spec), 0.0)
             return lr, lg, lb
 
-        for lp, li in mc.point_lights:
+        for lp, li in (mc.point_lights if sample_direct else ()):
             tlx = lp[0] - px
             tly = lp[1] - py
             tlz = lp[2] - pz
@@ -526,9 +697,9 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             blocked = shadow(sox, soy, soz, wix, wiy, wiz, dist, lit)
             lr, lg, lb = add_light(
                 lr, lg, lb, wix, wiy, wiz,
-                li[0] / d2, li[1] / d2, li[2] / d2, blocked)
+                li[0] / d2, li[1] / d2, li[2] / d2, lit & (~blocked))
 
-        for ld, lrad in mc.dir_lights:
+        for ld, lrad in (mc.dir_lights if sample_direct else ()):
             wix = jnp.full(shape, ld[0])
             wiy = jnp.full(shape, ld[1])
             wiz = jnp.full(shape, ld[2])
@@ -537,7 +708,53 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             lr, lg, lb = add_light(
                 lr, lg, lb, wix, wiy, wiz,
                 jnp.full(shape, lrad[0]), jnp.full(shape, lrad[1]),
-                jnp.full(shape, lrad[2]), blocked)
+                jnp.full(shape, lrad[2]), lit & (~blocked))
+
+        # mesh lights (raytracer.cpp:778-803, meshLight.h:27-50): random face
+        # by area-independent uniform pick, sqrt-warped barycentric point,
+        # irradiance = radiance * (faceArea/surfaceArea) * 2pi; the lane
+        # whose GI ray hit this light skips it (NEE suppression)
+        for li_idx, (lrad, faces) in enumerate(
+                mc.mesh_lights if sample_direct else ()):
+            count = len(faces)
+            uf = rnd(it, 3 + 3 * li_idx)
+            fsel = jnp.minimum((uf * float(count)).astype(jnp.int32),
+                               count - 1)
+            avx = avy = avz = bvx = bvy = bvz = cvx = cvy = cvz = ZERO
+            wgt = ZERO
+            for fi, (row, wfac) in enumerate(faces):
+                selm = fsel == fi
+                avx = jnp.where(selm, tri_ref[row, 0], avx)
+                avy = jnp.where(selm, tri_ref[row, 1], avy)
+                avz = jnp.where(selm, tri_ref[row, 2], avz)
+                bvx = jnp.where(selm, tri_ref[row, 3], bvx)
+                bvy = jnp.where(selm, tri_ref[row, 4], bvy)
+                bvz = jnp.where(selm, tri_ref[row, 5], bvz)
+                cvx = jnp.where(selm, tri_ref[row, 6], cvx)
+                cvy = jnp.where(selm, tri_ref[row, 7], cvy)
+                cvz = jnp.where(selm, tri_ref[row, 8], cvz)
+                wgt = jnp.where(selm, wfac, wgt)
+            b1 = rnd(it, 3 + 3 * li_idx + 1)
+            b2 = rnd(it, 3 + 3 * li_idx + 2)
+            sq = jnp.sqrt(b1)
+            qx = bvx * (1.0 - b2) + cvx * b2
+            qy = bvy * (1.0 - b2) + cvy * b2
+            qz = bvz * (1.0 - b2) + cvz * b2
+            tx = avx * (1.0 - sq) + qx * sq - px
+            ty = avy * (1.0 - sq) + qy * sq - py
+            tz = avz * (1.0 - sq) + qz * sq - pz
+            d2m = jnp.maximum(tx * tx + ty * ty + tz * tz, 1e-20)
+            dist = jnp.sqrt(d2m)
+            inv = 1.0 / dist
+            wix, wiy, wiz = tx * inv, ty * inv, tz * inv
+            not_skipped = skip_ml != float(li_idx)
+            gate_in = lit & not_skipped
+            blocked = shadow(sox, soy, soz, wix, wiy, wiz, dist, gate_in)
+            f2pi = 2.0 * float(np.pi)
+            lr, lg, lb = add_light(
+                lr, lg, lb, wix, wiy, wiz,
+                lrad[0] * wgt * f2pi, lrad[1] * wgt * f2pi,
+                lrad[2] * wgt * f2pi, gate_in & (~blocked))
 
         # ---- children (reflection continues in-register; refraction pushes) --
         new_act = FALSE
@@ -546,6 +763,22 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         nwx, nwy, nwz = cwx, cwy, cwz
         nax, nay, naz = ZERO, ZERO, ZERO
         nmed = ONE
+
+        if mc.pt:
+            # the GI sample is this lane's continuation: weight multiplies by
+            # Shade(w_i=gi, unit Li) * 2pi * rr_scale (raytracer.cpp:188,202);
+            # the reference recurses only when the GI ray HIT something
+            cos_g = jnp.maximum(0.0, gdx * nx + gdy * ny + gdz * nz)
+            ghx, ghy, ghz = norm3(gdx + wox, gdy + woy, gdz + woz)
+            cos_gh = jnp.maximum(0.0, ghx * nx + ghy * ny + ghz * nz)
+            spec_g = powmax(cos_gh, phong)
+            fac = (2.0 * float(np.pi)) * rr_scale
+            new_act = g_hit
+            nox, noy, noz = gox, goy, goz
+            ndx, ndy, ndz = gdx, gdy, gdz
+            nwx = cwx * (kdx * cos_g + ksx * spec_g) * fac
+            nwy = cwy * (kdy * cos_g + ksy * spec_g) * fac
+            nwz = cwz * (kdz * cos_g + ksz * spec_g) * fac
 
         if any_spec:
             can = cdep > 0
@@ -750,11 +983,16 @@ def _pad_rows(x, n):
 
 
 def mega_trace_flat(mc: MegaConsts, tri_tab, chunk_tab, o, d,
-                    interpret: bool = False):
+                    interpret: bool = False, seed=0, rng_key=None):
     """Radiance for rays o/d (R,3) via the fused kernel, returned as three
     flat (R,) component arrays — flat layouts tile perfectly on TPU, while
-    (R,3) arrays pad the minor dim 3 -> 128.  Deterministic — eligible scenes
-    contain no stochastic features."""
+    (R,3) arrays pad the minor dim 3 -> 128.
+
+    Whitted scenes are deterministic (seed unused).  PT / mesh-light scenes
+    draw from the on-chip PRNG seeded with (seed, block id); in
+    ``mc.host_rng`` mode (interpret/tests — pltpu.prng has no interpreter
+    lowering) the randoms come from a jax.random table built from
+    ``rng_key``."""
     r = o.shape[0]
     r_pad = ((r + TILE - 1) // TILE) * TILE
     n_rows = r_pad // LANES
@@ -771,20 +1009,34 @@ def mega_trace_flat(mc: MegaConsts, tri_tab, chunk_tab, o, d,
                             memory_space=pltpu.VMEM)
     out_shape = [jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32)] * 3
 
+    seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
+    if mc.host_rng and (mc.pt or mc.mesh_lights):
+        assert rng_key is not None, "host_rng mode needs an rng_key"
+        depth = mc.max_iters * max(mc.n_draws, 1)
+        rng_tab = jax.random.uniform(
+            rng_key, (depth, n_rows, LANES), jnp.float32)
+    else:
+        depth = 1
+        rng_tab = jnp.zeros((1, n_rows, LANES), jnp.float32)
+    rng_spec = pl.BlockSpec((depth, ROWS, LANES), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
     lx, ly, lz = pl.pallas_call(
         functools.partial(_kernel, mc=mc),
         grid=grid,
-        in_specs=[ray_spec] * 6 + [tri_spec] * 2,
+        in_specs=[ray_spec] * 6 + [tri_spec] * 2 + [seed_spec, rng_spec],
         out_specs=[out_spec] * 3,
         out_shape=out_shape,
         interpret=interpret,
-    )(*cols, tri_tab, chunk_tab)
+    )(*cols, tri_tab, chunk_tab, seed_arr, rng_tab)
     return lx.reshape(-1)[:r], ly.reshape(-1)[:r], lz.reshape(-1)[:r]
 
 
 @functools.partial(jax.jit, static_argnames=("mc", "interpret"))
 def mega_trace(mc: MegaConsts, tri_tab, chunk_tab, o, d,
-               interpret: bool = False):
+               interpret: bool = False, seed=0, rng_key=None):
     """(R,3) radiance via the fused kernel (see mega_trace_flat)."""
-    lx, ly, lz = mega_trace_flat(mc, tri_tab, chunk_tab, o, d, interpret)
+    lx, ly, lz = mega_trace_flat(mc, tri_tab, chunk_tab, o, d, interpret,
+                                 seed, rng_key)
     return jnp.stack([lx, ly, lz], axis=-1)

@@ -104,7 +104,7 @@ def _render_tile(pack: ScenePack, cam, px, py, key, opts: RenderOptions,
 
 @partial(jax.jit, static_argnames=("mc", "n_cells", "interpret", "w", "h",
                                    "as_ldr"))
-def _render_image_mega(mc, tri_tab, chunk_tab, cam, key, n_cells: int,
+def _render_image_mega(mc, tri_tab, chunk_tab, cam, key, seed, n_cells: int,
                        interpret: bool, w: int, h: int, as_ldr: bool):
     """Whole image via the fused Pallas megakernel (eligible Whitted scenes;
     see ops/pallas/megakernel.py) — ONE dispatch, zero host->device traffic:
@@ -160,7 +160,8 @@ def _render_image_mega(mc, tri_tab, chunk_tab, cam, key, n_cells: int,
         # traffic for every elementwise op and for the host fetch)
         o, d = rays(px, py, key)
         comps = mega_trace_flat(mc, tri_tab, chunk_tab, o, d,
-                                interpret=interpret)
+                                interpret=interpret, seed=seed,
+                                rng_key=(key if mc.host_rng else None))
         if tiled:
             comps = [c[unperm] for c in comps]  # tile order -> scanline
         if as_ldr:
@@ -172,7 +173,14 @@ def _render_image_mega(mc, tri_tab, chunk_tab, cam, key, n_cells: int,
 
     def trace(px2, py2, k):
         o, d = rays(px2, py2, k)
-        return mega_trace(mc, tri_tab, chunk_tab, o, d, interpret=interpret)
+        # per-sample stochastic stream: fold the sample key into the seed
+        try:
+            kd = jax.random.key_data(k)
+        except TypeError:
+            kd = k  # raw uint32 key arrays
+        s_seed = seed + kd.reshape(-1)[-1].astype(jnp.int32)
+        return mega_trace(mc, tri_tab, chunk_tab, o, d, interpret=interpret,
+                          seed=s_seed, rng_key=(k if mc.host_rng else None))
 
     col = jnp.transpose(  # (3, R): uniform host-side contract
         _gaussian_multisample(trace, px, py, key, n_cells))
@@ -206,15 +214,15 @@ def _camera_cached(cam_cfg: CameraCfg):
     return cam
 
 
-def _mega_build_cached(pack: ScenePack, depth: int):
+def _mega_build_cached(pack: ScenePack, opts: RenderOptions):
     from advanced_cpu_raytracing_tpu.ops.pallas.megakernel import build_mega
 
     key = id(pack)
     ent = _MEGA_CACHE.get(key)
-    if ent is not None and ent[0]() is pack and ent[1] == depth:
+    if ent is not None and ent[0]() is pack and ent[1] == opts:
         return ent[2], ent[3], ent[4]
-    mc, tab, ctab = build_mega(pack, depth)
-    _MEGA_CACHE[key] = (weakref.ref(pack), depth, mc, tab, ctab)
+    mc, tab, ctab = build_mega(pack, opts)
+    _MEGA_CACHE[key] = (weakref.ref(pack), opts, mc, tab, ctab)
     return mc, tab, ctab
 
 
@@ -226,7 +234,7 @@ def _mega_route(pack: ScenePack, opts: RenderOptions) -> bool:
 
     if os.environ.get("ACRT_NO_MEGA") == "1":
         return False
-    if not mega_eligible(pack.static, opts):
+    if not mega_eligible(pack.static, opts, pack):
         return False
     return (jax.default_backend() == "tpu"
             or os.environ.get("ACRT_FORCE_MEGA") == "1")
@@ -264,16 +272,15 @@ def render_camera(pack: ScenePack, cfg: SceneConfig, cam_cfg: CameraCfg,
     n_cells = max(int(math.isqrt(max(spp, 1))), 1)
 
     if _mega_route(pack, opts):
-        mc, tri_tab, chunk_tab = _mega_build_cached(pack, opts.max_depth)
+        mc, tri_tab, chunk_tab = _mega_build_cached(pack, opts)
         interpret = jax.default_backend() != "tpu"
-        # deterministic single-sample non-DoF renders need no RNG at all —
-        # and merely *creating* a PRNG key costs a ~25 ms device round-trip
-        # on a tunneled TPU
-        if n_cells <= 1 and not cam.use_dof:
-            key = None
-        else:
-            key = jax.random.PRNGKey(seed)
-        img = _render_image_mega(mc, tri_tab, chunk_tab, cam, key, n_cells,
+        # deterministic single-sample non-DoF Whitted renders need no RNG at
+        # all — and merely *creating* a PRNG key costs a ~25 ms device
+        # round-trip on a tunneled TPU
+        needs_key = (cam.use_dof or n_cells > 1 or mc.host_rng)
+        key = jax.random.PRNGKey(seed) if needs_key else None
+        img = _render_image_mega(mc, tri_tab, chunk_tab, cam, key,
+                                 jnp.int32(seed), n_cells,
                                  interpret, w, h, ldr)  # (3, R)
         return np.ascontiguousarray(
             np.asarray(img).T.reshape(h, w, 3))

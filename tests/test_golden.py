@@ -77,8 +77,24 @@ def test_golden(name, mean_tol, frac_tol):
 # (VERDICT r1 item 3).
 # ---------------------------------------------------------------------------
 
+# Measured small-res diffs vs the FRESH reference binary (CPU, 2026-08-18):
+# six scenes are bit-exact (mean 0.0000, 0.000% pixels >2); conductors shows
+# mean 0.298 / 0.32% and spheres 0.011 / 0.014% — both are the reference's
+# own fp shadow acne on silhouettes.  Bounds = measured x2 headroom.
+SMALL_CASES = [
+    ("simple", 0.05, 0.002),
+    ("two_spheres", 0.05, 0.002),
+    ("spheres_mirror", 0.1, 0.005),
+    ("cornellbox_recursive_conductors", 0.6, 0.008),
+    ("spheres", 0.1, 0.003),
+    ("cornellbox_recursive_alt2", 0.05, 0.002),
+    ("scienceTree", 0.05, 0.002),
+    ("scienceTree_diamond", 0.1, 0.005),
+]
+
+
 @pytest.mark.golden
-@pytest.mark.parametrize("name,mean_tol,frac_tol", CASES)
+@pytest.mark.parametrize("name,mean_tol,frac_tol", SMALL_CASES)
 def test_golden_smallres(name, mean_tol, frac_tol):
     import re
 
@@ -108,10 +124,8 @@ def test_golden_smallres(name, mean_tol, frac_tol):
     pack = pack_scene(cfg)
     ours = render_camera(pack, cfg, cfg.cameras[0], seed=0, ldr=True)
     diff = np.abs(ours.astype(int) - gold["png"].astype(int))
-    # small images put proportionally more pixels on silhouettes (the fp
-    # acne zone), so allow a slightly larger outlier fraction
-    assert diff.mean() < mean_tol + 0.5, f"mean {diff.mean()}"
-    assert (diff > 2).mean() < frac_tol + 0.03, f"frac {(diff > 2).mean()}"
+    assert diff.mean() < mean_tol, f"mean {diff.mean()}"
+    assert (diff > 2).mean() < frac_tol, f"frac {(diff > 2).mean()}"
 
 
 @pytest.mark.golden

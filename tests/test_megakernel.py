@@ -46,7 +46,7 @@ def test_megakernel_matches_wavefront(scene):
     opts = RenderOptions(max_depth=cfg.max_recursion_depth)
     assert mega_eligible(pack.static, opts), "golden scene must be eligible"
 
-    mc, tab, ctab = build_mega(pack, opts.max_depth)
+    mc, tab, ctab = build_mega(pack, opts)
     r = 1024
     rng = np.random.default_rng(7)
     px = jnp.asarray(rng.uniform(0, cam_cfg.width, r).astype(np.float32))
@@ -109,3 +109,90 @@ def test_renderer_tiled_mega_route_matches_wavefront(monkeypatch):
     diff = np.abs(ref - got)
     assert np.mean(diff) < 0.05
     assert np.quantile(diff, 0.999) < 1.0
+
+
+def _pt_box_scene(tmp_path, renderer: str, pt: bool = True):
+    """Small closed box with an emissive LightMesh ceiling panel.
+
+    kd is darkened to ~0.35 and depth capped at 3 so the replicated
+    reference estimator (per-bounce gain ~kd*(2/3)*2pi, divergent for
+    kd > ~0.24 — see PARITY.md) stays tame enough for statistical
+    comparison; the machinery exercised is identical."""
+    from tests.test_golden_features import PT_BOX
+
+    xml = PT_BOX.format(name="megapt", spp=1, params=renderer)
+    xml = (xml.replace("0.7 0.7 0.7", "0.35 0.35 0.35")
+              .replace("0.7 0.12 0.12", "0.35 0.1 0.1")
+              .replace("0.12 0.7 0.12", "0.1 0.35 0.1")
+              .replace("<MaxRecursionDepth>4</MaxRecursionDepth>",
+                       "<MaxRecursionDepth>3</MaxRecursionDepth>"))
+    if not pt:
+        # strip the PathTracing renderer for the Whitted variant
+        xml = xml.replace("<Renderer>PathTracing</Renderer>", "")
+        xml = xml.replace("<RendererParams></RendererParams>", "")
+    p = tmp_path / "megapt.xml"
+    p.write_text(xml)
+    cfg = load_scene(str(p))
+    return cfg, pack_scene(cfg)
+
+
+def _mc_compare(pack, cfg, opts, n_seeds=24):
+    """The two MC estimators (mega kernel with host-RNG table in interpret
+    mode vs the jnp wavefront) must agree in expectation.  The estimator is
+    heavy-tailed (rare light hits carry radiance*(2pi)^2 weights), so the
+    check is a Welch z-test over per-seed GLOBAL means — per-lane stderr
+    wildly understates tail variance (verified empirically: K=100 gives
+    z=0.05 on the depth-1 box)."""
+    from advanced_cpu_raytracing_tpu.ops.pallas.megakernel import (
+        build_mega as _bm,
+        mega_trace as _mt,
+        mega_eligible as _me,
+    )
+
+    assert _me(pack.static, opts, pack)
+    mc, tab, ctab = _bm(pack, opts, host_rng=True)
+    cam = build_camera(cfg.cameras[0])
+    rng = np.random.default_rng(9)
+    n = 1024
+    px = jnp.asarray(rng.uniform(0, 128, n).astype(np.float32))
+    py = jnp.asarray(rng.uniform(0, 128, n).astype(np.float32))
+    o, d = cam_mod.generate_rays(cam, px, py, jnp.zeros((n, 2)), dof=False)
+
+    f = jax.jit(lambda k: trace_radiance(pack, cam, px, py, k, opts))
+    m_means, j_means = [], []
+    for s in range(n_seeds):
+        m_means.append(float(np.asarray(
+            _mt(mc, tab, ctab, o, d, interpret=True, seed=s,
+                rng_key=jax.random.PRNGKey(50 + s))).mean()))
+        j_means.append(float(np.asarray(f(jax.random.PRNGKey(200 + s))).mean()))
+    m_arr, j_arr = np.array(m_means), np.array(j_means)
+    z = abs(m_arr.mean() - j_arr.mean()) / np.sqrt(
+        m_arr.var() / n_seeds + j_arr.var() / n_seeds + 1e-12)
+    assert z < 4.0, (m_arr.mean(), j_arr.mean(), z)
+
+
+@pytest.mark.parametrize("params", [
+    "NextEventEstimation ImportanceSampling",
+    "NextEventEstimation ImportanceSampling RussianRoulette",
+    "",
+])
+def test_megakernel_path_tracing(tmp_path, params):
+    """PT inside the fused kernel (GI continuation + NEE mesh-light loop +
+    RR) vs the jnp wavefront estimator, in expectation over seeds."""
+    cfg, pack = _pt_box_scene(tmp_path, params)
+    from advanced_cpu_raytracing_tpu.render.renderer import options_for_camera
+
+    opts = options_for_camera(cfg, cfg.cameras[0])
+    assert opts.path_tracing
+    _mc_compare(pack, cfg, opts)
+
+
+def test_megakernel_whitted_meshlight(tmp_path):
+    """Whitted + LightMesh (emissive hit radiance + MC mesh-light NEE)
+    through the kernel vs the jnp wavefront."""
+    cfg, pack = _pt_box_scene(tmp_path, "", pt=False)
+    from advanced_cpu_raytracing_tpu.render.renderer import options_for_camera
+
+    opts = options_for_camera(cfg, cfg.cameras[0])
+    assert not opts.path_tracing
+    _mc_compare(pack, cfg, opts)
