@@ -81,6 +81,10 @@ class MegaConsts:
     materials: tuple
     point_lights: tuple  # of (pos3, intensity3)
     dir_lights: tuple  # of (unit_to_light3, radiance3)
+    # of (pos3, dir3, intensity3, cos_half_cov, cos_half_fall, cov_deg, fall_deg)
+    spot_lights: tuple
+    # of (pos3, normal3, radiance3, extent, area, u3, v3)
+    area_lights: tuple
     ambient: tuple  # (3,)
     bg: tuple  # (3,)
     eps: float  # shadow_ray_epsilon
@@ -116,8 +120,8 @@ def mega_eligible(static, opts, pack=None) -> bool:
         and static.n_textures == 0
         and static.n_brdfs == 0
         and static.n_env == 0
-        and static.n_area == 0
-        and static.n_spot == 0
+        and static.n_area <= 4
+        and static.n_spot <= 4
         and not static.has_motion
         and not static.has_rough
         and static.n_spheres <= 8
@@ -234,6 +238,21 @@ def build_mega(pack, opts, host_rng: bool = False):
         d = np.asarray(pack.dl_dir)[i].astype(np.float64)
         d = -d / max(np.linalg.norm(d), 1e-30)  # unit vector TOWARD the light
         dlights.append((tup(d), tup(np.asarray(pack.dl_radiance)[i])))
+    slights = tuple(
+        (tup(np.asarray(pack.sl_pos)[i]), tup(np.asarray(pack.sl_dir)[i]),
+         tup(np.asarray(pack.sl_intensity)[i]),
+         float(np.asarray(pack.sl_cos_half_cov)[i]),
+         float(np.asarray(pack.sl_cos_half_fall)[i]),
+         float(np.asarray(pack.sl_coverage_deg)[i]),
+         float(np.asarray(pack.sl_falloff_deg)[i]))
+        for i in range(st.n_spot))
+    alights = tuple(
+        (tup(np.asarray(pack.al_pos)[i]), tup(np.asarray(pack.al_normal)[i]),
+         tup(np.asarray(pack.al_radiance)[i]),
+         float(np.asarray(pack.al_extent)[i]),
+         float(np.asarray(pack.al_area)[i]),
+         tup(np.asarray(pack.al_u)[i]), tup(np.asarray(pack.al_v)[i]))
+        for i in range(st.n_area))
 
     rr_floor = 8
     if opts.path_tracing:
@@ -248,8 +267,11 @@ def build_mega(pack, opts, host_rng: bool = False):
         max_iters = max_depth + 2
         stack_k = 0
 
-    n_draws = 3 + 3 * len(mesh_lights) \
-        if (opts.path_tracing or mesh_lights) else 0
+    n_area = st.n_area
+    if opts.path_tracing or mesh_lights or n_area:
+        n_draws = 3 + 3 * len(mesh_lights) + 2 * n_area
+    else:
+        n_draws = 0
 
     mc = MegaConsts(
         n_tri=w,
@@ -257,6 +279,8 @@ def build_mega(pack, opts, host_rng: bool = False):
         materials=tuple(materials),
         point_lights=plights,
         dir_lights=tuple(dlights),
+        spot_lights=slights,
+        area_lights=alights,
         ambient=tup(pack.ambient_light),
         bg=tup(pack.bg_color),
         eps=float(np.asarray(pack.shadow_eps)),
@@ -304,7 +328,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         val = jnp.exp(e * jnp.log(safe))
         return jnp.where(pos, val, jnp.where(e == 0.0, 1.0, 0.0))
 
-    needs_rng = mc.pt or len(mc.mesh_lights) > 0
+    needs_rng = mc.pt or len(mc.mesh_lights) > 0 or len(mc.area_lights) > 0
     if needs_rng and not mc.host_rng:
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
@@ -710,6 +734,57 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
                 jnp.full(shape, lrad[0]), jnp.full(shape, lrad[1]),
                 jnp.full(shape, lrad[2]), lit & (~blocked))
 
+        # spot lights (raytracer.cpp:767-776, spotLight.h:33-57)
+        for sl in (mc.spot_lights if sample_direct else ()):
+            lpos, ldir, lint, chc, chf, cov, fall = sl
+            tlx = lpos[0] - px
+            tly = lpos[1] - py
+            tlz = lpos[2] - pz
+            d2s = jnp.maximum(tlx * tlx + tly * tly + tlz * tlz, 1e-20)
+            dist = jnp.sqrt(d2s)
+            inv = 1.0 / dist
+            wix, wiy, wiz = tlx * inv, tly * inv, tlz * inv
+            cos_a = jnp.clip(
+                -(ldir[0] * wix + ldir[1] * wiy + ldir[2] * wiz), -1.0, 1.0)
+            irr_s = 1.0 / d2s
+            # all cone tests in COSINE space (arccos is strictly decreasing;
+            # Mosaic has no acos lowering): alpha > fall/2 <=> cos_a <
+            # cos(fall/2), alpha <= 0 <=> cos_a >= 1
+            # falloff: ((cos a - cos(cov/2)) / (cos(fall/2) - cos(cov/2)))^4
+            frac = jnp.maximum(
+                (cos_a - chc) / max(chf - chc, 1e-9), 0.0)
+            smooth = frac * frac * frac * frac
+            scale = jnp.where(cos_a < chf, smooth, 1.0)
+            scale = jnp.where((cos_a >= 1.0) | (cos_a < chc), 0.0, scale)
+            blocked = shadow(sox, soy, soz, wix, wiy, wiz, dist, lit)
+            lr, lg, lb = add_light(
+                lr, lg, lb, wix, wiy, wiz,
+                lint[0] * irr_s * scale, lint[1] * irr_s * scale,
+                lint[2] * irr_s * scale, lit & (~blocked))
+
+        # area lights (raytracer.cpp:720-740, areaLight.h:34-41): uniform
+        # rectangle sample, two-sided cosine
+        for ai, al in enumerate(mc.area_lights if sample_direct else ()):
+            apos, anrm, arad, ext, area, au, av = al
+            base = 3 + 3 * len(mc.mesh_lights) + 2 * ai
+            o1 = rnd(it, base) - 0.5
+            o2 = rnd(it, base + 1) - 0.5
+            sxp = apos[0] + au[0] * (ext * o1) + av[0] * (ext * o2)
+            syp = apos[1] + au[1] * (ext * o1) + av[1] * (ext * o2)
+            szp = apos[2] + au[2] * (ext * o1) + av[2] * (ext * o2)
+            tlx, tly, tlz = sxp - px, syp - py, szp - pz
+            d2a = jnp.maximum(tlx * tlx + tly * tly + tlz * tlz, 1e-20)
+            dist = jnp.sqrt(d2a)
+            inv = 1.0 / dist
+            wix, wiy, wiz = tlx * inv, tly * inv, tlz * inv
+            l_cos = jnp.abs(anrm[0] * wix + anrm[1] * wiy + anrm[2] * wiz)
+            irr_a = area * l_cos / d2a
+            blocked = shadow(sox, soy, soz, wix, wiy, wiz, dist, lit)
+            lr, lg, lb = add_light(
+                lr, lg, lb, wix, wiy, wiz,
+                arad[0] * irr_a, arad[1] * irr_a, arad[2] * irr_a,
+                lit & (~blocked))
+
         # mesh lights (raytracer.cpp:778-803, meshLight.h:27-50): random face
         # by area-independent uniform pick, sqrt-warped barycentric point,
         # irradiance = radiance * (faceArea/surfaceArea) * 2pi; the lane
@@ -1010,7 +1085,7 @@ def mega_trace_flat(mc: MegaConsts, tri_tab, chunk_tab, o, d,
     out_shape = [jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32)] * 3
 
     seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
-    if mc.host_rng and (mc.pt or mc.mesh_lights):
+    if mc.host_rng and mc.n_draws > 0:
         assert rng_key is not None, "host_rng mode needs an rng_key"
         depth = mc.max_iters * max(mc.n_draws, 1)
         rng_tab = jax.random.uniform(

@@ -196,3 +196,63 @@ def test_megakernel_whitted_meshlight(tmp_path):
     opts = options_for_camera(cfg, cfg.cameras[0])
     assert not opts.path_tracing
     _mc_compare(pack, cfg, opts)
+
+
+def test_megakernel_spot_and_directional(tmp_path):
+    """Spot + directional lights in-kernel (deterministic, exact compare)."""
+    from tests.test_golden_features import (  # reuse the authored scene
+        CAM,
+        test_spot_and_directional_lights as _src,
+    )
+    import inspect
+    import re
+
+    src = inspect.getsource(_src)
+    m = re.search(r'xml = f"""(<Scene>.*?</Scene>)"""', src, re.S)
+    name = "megaspot"
+    xml = eval(f'f"""{m.group(1)}"""')  # noqa: S307 — our own test template
+    p = tmp_path / "megaspot.xml"
+    p.write_text(xml)
+    cfg = load_scene(str(p))
+    pack = pack_scene(cfg)
+    from advanced_cpu_raytracing_tpu.ops.pallas.megakernel import (
+        build_mega as _bm,
+        mega_trace as _mt,
+        mega_eligible as _me,
+    )
+    from advanced_cpu_raytracing_tpu.render.renderer import options_for_camera
+
+    opts = options_for_camera(cfg, cfg.cameras[0])
+    assert _me(pack.static, opts, pack)
+    mc, tab, ctab = _bm(pack, opts)
+    cam = build_camera(cfg.cameras[0])
+    rng = np.random.default_rng(3)
+    n = 1024
+    px = jnp.asarray(rng.uniform(0, 320, n).astype(np.float32))
+    py = jnp.asarray(rng.uniform(0, 240, n).astype(np.float32))
+    o, d = cam_mod.generate_rays(cam, px, py, jnp.zeros((n, 2)), dof=False)
+    l_mega = np.asarray(_mt(mc, tab, ctab, o, d, interpret=True))
+    l_jnp = np.asarray(trace_radiance(pack, cam, px, py,
+                                      jax.random.PRNGKey(0), opts))
+    diff = np.abs(l_mega - l_jnp)
+    assert np.mean(diff) < 0.01
+    assert np.quantile(diff, 0.999) < 0.5
+
+
+def test_megakernel_area_light(tmp_path):
+    """Area light in-kernel (MC rectangle sampling) vs the jnp wavefront,
+    in expectation over seeds."""
+    import re
+
+    import __graft_entry__ as ge
+    from advanced_cpu_raytracing_tpu.render.renderer import options_for_camera
+
+    # demo scene: mesh floor + mirror + dielectric spheres + point&area light
+    xml = ge._demo_scene_xml()
+    p = tmp_path / "megaarea.xml"
+    p.write_text(xml)
+    cfg = load_scene(str(p))
+    pack = pack_scene(cfg)
+    assert pack.static.n_area == 1
+    opts = options_for_camera(cfg, cfg.cameras[0])
+    _mc_compare(pack, cfg, opts, n_seeds=16)
