@@ -684,11 +684,15 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             if len(mc.mesh_lights) > 0:
                 skip_ml = jnp.where(g_hit & (g_ml >= 0.0), g_ml, -1.0)
 
-        # ambient (raytracer.cpp:98-100)
-        ambx, amby, ambz = mat_field3(matf, lambda m: m[1])
-        lr = lr + jnp.where(lit, cwx * (mc.ambient[0] * ambx), 0.0)
-        lg = lg + jnp.where(lit, cwy * (mc.ambient[1] * amby), 0.0)
-        lb = lb + jnp.where(lit, cwz * (mc.ambient[2] * ambz), 0.0)
+        sample_direct = (not mc.pt) or mc.pt_nee
+
+        # ambient (raytracer.cpp:98-100) — like all direct terms, skipped in
+        # PT-without-NEE mode (integrator.py: sample_direct gates ambient too)
+        if sample_direct and any(a != 0.0 for a in mc.ambient):
+            ambx, amby, ambz = mat_field3(matf, lambda m: m[1])
+            lr = lr + jnp.where(lit, cwx * (mc.ambient[0] * ambx), 0.0)
+            lg = lg + jnp.where(lit, cwy * (mc.ambient[1] * amby), 0.0)
+            lb = lb + jnp.where(lit, cwz * (mc.ambient[2] * ambz), 0.0)
 
         kdx, kdy, kdz = mat_field3(matf, lambda m: m[2])
         ksx, ksy, ksz = mat_field3(matf, lambda m: m[3])
@@ -697,8 +701,6 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         sox = px + nx * eps
         soy = py + ny * eps
         soz = pz + nz * eps
-
-        sample_direct = (not mc.pt) or mc.pt_nee
 
         def add_light(lr, lg, lb, wix, wiy, wiz, irr_x, irr_y, irr_z, gate):
             cos_t = jnp.maximum(0.0, wix * nx + wiy * ny + wiz * nz)
