@@ -77,7 +77,7 @@ class MegaConsts:
     #              center 3, radius, mat_index)
     spheres: tuple
     # per material: (type, ambient3, diffuse3, specular3, mirror3, phong,
-    #                ior, cond_k, absorb3, radiance3)
+    #                ior, cond_k, absorb3, radiance3, roughness)
     materials: tuple
     point_lights: tuple  # of (pos3, intensity3)
     dir_lights: tuple  # of (unit_to_light3, radiance3)
@@ -107,6 +107,8 @@ class MegaConsts:
     # (pltpu.prng_* has no interpret-mode lowering -> CPU tests use this)
     host_rng: bool = False
     n_draws: int = 0  # randoms consumed per loop iteration (table layout)
+    has_rough: bool = False  # any material roughness > 0.001
+    has_motion: bool = False  # per-object linear motion (tri cols 16:19)
 
 
 def mega_eligible(static, opts, pack=None) -> bool:
@@ -122,8 +124,6 @@ def mega_eligible(static, opts, pack=None) -> bool:
         and static.n_env == 0
         and static.n_area <= 4
         and static.n_spot <= 4
-        and not static.has_motion
-        and not static.has_rough
         and static.n_spheres <= 8
         # materials are unrolled masked selects (~17 scalar fields each);
         # the contributor golden scenes go up to 103 materials
@@ -159,7 +159,9 @@ def build_mega(pack, opts, host_rng: bool = False):
     st = pack.static
     max_depth = opts.max_depth
     w = st.n_work_items
-    tab = np.zeros((max(w, 1), 16), np.float32)
+    # motion scenes widen the table with per-face world-space motion (16:19)
+    n_cols = 24 if st.has_motion else 16
+    tab = np.zeros((max(w, 1), n_cols), np.float32)
     tab[:, 13] = -1.0
     if w:
         tab[:, 0:3] = np.asarray(pack.wi_v0)[:w]
@@ -172,6 +174,8 @@ def build_mega(pack, opts, host_rng: bool = False):
         mtypes = np.asarray(pack.mat_type)
         tab[:, 14] = (mtypes[np.asarray(pack.wi_mat)[:w]]
                       == _EMISSIVE).astype(np.float32)
+        if st.has_motion:
+            tab[:, 16:19] = np.asarray(pack.wi_motion)[:w]
 
     n_chunks = max((w + CHUNK - 1) // CHUNK, 1)
     ctab = np.zeros((n_chunks, 8), np.float32)
@@ -181,6 +185,16 @@ def build_mega(pack, opts, host_rng: bool = False):
         if len(vs):
             ctab[ci, 0:3] = vs.min(axis=0)
             ctab[ci, 3:6] = vs.max(axis=0)
+            if st.has_motion:
+                # ray origin shifts by +motion*time, i.e. the triangle sweeps
+                # by -motion over time [0,1]: cover both endpoints
+                mo = tab[lo:hi, 16:19]
+                ctab[ci, 0:3] = np.minimum(ctab[ci, 0:3],
+                                           (vs.reshape(-1, 3, 3) - mo[:, None])
+                                           .reshape(-1, 3).min(axis=0))
+                ctab[ci, 3:6] = np.maximum(ctab[ci, 3:6],
+                                           (vs.reshape(-1, 3, 3) - mo[:, None])
+                                           .reshape(-1, 3).max(axis=0))
 
     def tup(a):
         return tuple(float(x) for x in np.asarray(a).reshape(-1))
@@ -193,6 +207,7 @@ def build_mega(pack, opts, host_rng: bool = False):
             tup(np.asarray(pack.sph_center)[i]),
             float(np.asarray(pack.sph_radius)[i]),
             int(np.asarray(pack.sph_material)[i]),
+            tup(np.asarray(pack.sph_motion)[i]),  # object-space, per time
         ))
 
     materials = []
@@ -208,6 +223,7 @@ def build_mega(pack, opts, host_rng: bool = False):
             float(np.asarray(pack.mat_cond_k)[i]),
             tup(np.asarray(pack.mat_absorption)[i]),
             tup(np.asarray(pack.mat_radiance)[i]),
+            float(np.asarray(pack.mat_roughness)[i]),
         ))
 
     # mesh lights: each face as (row in the tri table, area weight) so the
@@ -268,8 +284,13 @@ def build_mega(pack, opts, host_rng: bool = False):
         stack_k = 0
 
     n_area = st.n_area
-    if opts.path_tracing or mesh_lights or n_area:
-        n_draws = 3 + 3 * len(mesh_lights) + 2 * n_area
+    has_rough = st.has_rough
+    if (opts.path_tracing or mesh_lights or n_area or has_rough
+            or st.has_motion):
+        # slots: 0 RR | 1-2 GI | 3.. mesh lights (3 each) | .. area (2 each)
+        # | .. roughness (4: reflect+refract psi pairs) | last: motion time
+        n_draws = (3 + 3 * len(mesh_lights) + 2 * n_area
+                   + (4 if has_rough else 0) + (1 if st.has_motion else 0))
     else:
         n_draws = 0
 
@@ -299,6 +320,8 @@ def build_mega(pack, opts, host_rng: bool = False):
         mesh_lights=tuple(mesh_lights),
         host_rng=host_rng,
         n_draws=n_draws,
+        has_rough=has_rough,
+        has_motion=st.has_motion,
     )
     return mc, jnp.asarray(tab), jnp.asarray(ctab)
 
@@ -328,7 +351,8 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         val = jnp.exp(e * jnp.log(safe))
         return jnp.where(pos, val, jnp.where(e == 0.0, 1.0, 0.0))
 
-    needs_rng = mc.pt or len(mc.mesh_lights) > 0 or len(mc.area_lights) > 0
+    needs_rng = (mc.pt or len(mc.mesh_lights) > 0 or len(mc.area_lights) > 0
+                 or mc.has_rough or mc.has_motion)
     if needs_rng and not mc.host_rng:
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
@@ -375,7 +399,13 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
     def tri_hit(ti, px, py, pz, vx, vy, vz):
         """Cramer's-rule triangle test for triangle `ti` against the block
         (Mesh::IntersectFace semantics, src/mesh.cpp:201-236).
-        Returns (t, valid)."""
+        Returns (t, valid).  Motion blur: the per-face world-space motion
+        offsets the ray origin by +motion*time (equivalence argument in
+        ops/traverse.py; mesh.cpp:167-170)."""
+        if mc.has_motion:
+            px = px + tri_ref[ti, 16] * tau
+            py = py + tri_ref[ti, 17] * tau
+            pz = pz + tri_ref[ti, 18] * tau
         v0x = tri_ref[ti, 0]
         v0y = tri_ref[ti, 1]
         v0z = tri_ref[ti, 2]
@@ -413,6 +443,11 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         Returns (t, valid, world-normal xyz, unnormalized)."""
         olx, oly, olz = sphere_local(s, px, py, pz, vx, vy, vz, True)
         dlx, dly, dlz = sphere_local(s, vx, vy, vz, vx, vy, vz, False)
+        if mc.has_motion:
+            mo = s[5]
+            olx = olx + mo[0] * tau
+            oly = oly + mo[1] * tau
+            olz = olz + mo[2] * tau
         c = s[2]
         rad = s[3]
         ocx, ocy, ocz = olx - c[0], oly - c[1], olz - c[2]
@@ -572,6 +607,11 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
     dx = dx_ref[:, :]
     dy = dy_ref[:, :]
     dz = dz_ref[:, :]
+
+    if mc.has_motion:
+        tau = rnd(jnp.int32(0), mc.n_draws - 1)
+    else:
+        tau = None
 
     eps = mc.eps
     diel = mc.has_dielectric
@@ -865,6 +905,30 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
                 2.0 * ny * ndotwo - woy,
                 2.0 * nz * ndotwo - woz,
             )
+            if mc.has_rough:
+                # glossy perturbation (Raytracer::Reflect, raytracer.cpp:
+                # 424-440): r' = unit(r + (u*psi1 + v*psi2)*roughness)
+                rough = mat_field(matf, lambda m: m[10])
+                base_r = (3 + 3 * len(mc.mesh_lights)
+                          + 2 * len(mc.area_lights))
+                rp1 = rnd(it, base_r) - 0.5
+                rp2 = rnd(it, base_r + 1) - 0.5
+                is_rough = rough > 0.001
+
+                def perturb(ax_, ay_, az_, p1, p2):
+                    (ux_, uy_, uz_), (vx_, vy_, vz_) = onb(
+                        *norm3(ax_, ay_, az_))
+                    qx, qy, qz = norm3(
+                        ax_ + (ux_ * p1 + vx_ * p2) * rough,
+                        ay_ + (uy_ * p1 + vy_ * p2) * rough,
+                        az_ + (uz_ * p1 + vz_ * p2) * rough,
+                    )
+                    bx_, by_, bz_ = norm3(ax_, ay_, az_)
+                    return (jnp.where(is_rough, qx, bx_),
+                            jnp.where(is_rough, qy, by_),
+                            jnp.where(is_rough, qz, bz_))
+
+                rx, ry, rz = perturb(rx, ry, rz, rp1, rp2)
 
             if mc.has_mirror:
                 mirx, miry, mirz = mat_field3(matf, lambda m: m[4])
@@ -930,6 +994,8 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
                     2.0 * nmy * ndw - woy,
                     2.0 * nmz * ndw - woz,
                 )
+                if mc.has_rough:
+                    rdx, rdy, rdz = perturb(rdx, rdy, rdz, rp1, rp2)
 
                 # TIR: reflect only, weight 1, medium kept (292-311)
                 is_tir = hit & is_diel & tir & can
@@ -973,12 +1039,17 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
                 naz = jnp.where(rin, abz, naz)
                 nmed = jnp.where(is_rl, obj_n, nmed)
 
-                # refraction leg -> stack push
-                fdx, fdy, fdz = norm3(
-                    (cdx + nmx * cos_i) * ratio_n - nmx * cos_p,
-                    (cdy + nmy * cos_i) * ratio_n - nmy * cos_p,
-                    (cdz + nmz * cos_i) * ratio_n - nmz * cos_p,
-                )
+                # refraction leg -> stack push (perturbed on the RAW vector
+                # like Raytracer's refract path, raytracer.cpp:366-375)
+                f0x = (cdx + nmx * cos_i) * ratio_n - nmx * cos_p
+                f0y = (cdy + nmy * cos_i) * ratio_n - nmy * cos_p
+                f0z = (cdz + nmz * cos_i) * ratio_n - nmz * cos_p
+                if mc.has_rough:
+                    fp1 = rnd(it, base_r + 2) - 0.5
+                    fp2 = rnd(it, base_r + 3) - 0.5
+                    fdx, fdy, fdz = perturb(f0x, f0y, f0z, fp1, fp2)
+                else:
+                    fdx, fdy, fdz = norm3(f0x, f0y, f0z)
                 fin = obj_n > 1.001
                 iota_k = jax.lax.broadcasted_iota(
                     jnp.int32, (k_slots,) + shape, 0)

@@ -256,3 +256,53 @@ def test_megakernel_area_light(tmp_path):
     assert pack.static.n_area == 1
     opts = options_for_camera(cfg, cfg.cameras[0])
     _mc_compare(pack, cfg, opts, n_seeds=16)
+
+
+def test_megakernel_motion_and_roughness(tmp_path):
+    """Motion blur (per-face/per-sphere offsets + per-primary time draw) and
+    glossy roughness in-kernel vs the jnp wavefront, in expectation."""
+    xml = """<Scene>
+  <MaxRecursionDepth>3</MaxRecursionDepth>
+  <BackgroundColor>4 4 8</BackgroundColor>
+  <Cameras><Camera id="1">
+    <Position>0 1 4</Position><Gaze>0 -0.1 -1</Gaze><Up>0 1 0</Up>
+    <NearPlane>-1 1 -1 1</NearPlane><NearDistance>1</NearDistance>
+    <ImageResolution>64 64</ImageResolution><ImageName>m.png</ImageName>
+  </Camera></Cameras>
+  <Lights>
+    <AmbientLight>10 10 10</AmbientLight>
+    <PointLight id="1"><Position>2 4 2</Position>
+      <Intensity>600 600 600</Intensity></PointLight>
+  </Lights>
+  <Materials>
+    <Material id="1"><AmbientReflectance>1 1 1</AmbientReflectance>
+      <DiffuseReflectance>0.6 0.6 0.6</DiffuseReflectance>
+      <SpecularReflectance>0.2 0.2 0.2</SpecularReflectance>
+      <PhongExponent>20</PhongExponent></Material>
+    <Material id="2" type="mirror"><AmbientReflectance>0 0 0</AmbientReflectance>
+      <DiffuseReflectance>0.1 0.1 0.1</DiffuseReflectance>
+      <SpecularReflectance>0 0 0</SpecularReflectance>
+      <MirrorReflectance>0.9 0.9 0.9</MirrorReflectance>
+      <Roughness>0.15</Roughness></Material>
+  </Materials>
+  <VertexData>
+    -5 0 -5   5 0 -5   5 0 5   -5 0 5   -0.9 0.7 0   0.9 0.7 0
+  </VertexData>
+  <Objects>
+    <Mesh id="1"><Material>1</Material><Faces>1 3 2 1 4 3</Faces>
+      <MotionBlur>0.6 0 0</MotionBlur></Mesh>
+    <Sphere id="1"><Material>2</Material><Center>5</Center>
+      <Radius>0.7</Radius></Sphere>
+    <Sphere id="2"><Material>1</Material><Center>6</Center>
+      <Radius>0.7</Radius><MotionBlur>0 0.8 0</MotionBlur></Sphere>
+  </Objects>
+</Scene>"""
+    p = tmp_path / "m.xml"
+    p.write_text(xml)
+    cfg = load_scene(str(p))
+    pack = pack_scene(cfg)
+    assert pack.static.has_motion and pack.static.has_rough
+    from advanced_cpu_raytracing_tpu.render.renderer import options_for_camera
+
+    opts = options_for_camera(cfg, cfg.cameras[0])
+    _mc_compare(pack, cfg, opts, n_seeds=16)
