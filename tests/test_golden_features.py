@@ -529,3 +529,188 @@ def test_environment_light_vs_reference():
     ours, _ = _render_ours(scene_path)
     # MC surface sampling: block means; background pixels are deterministic
     _mc(ours, gold["png"], block_tol=6.0)
+
+
+def test_brdf_models_vs_reference():
+    """All five pluggable BRDF models (src/brdf*.cpp) against the reference
+    binary: five spheres in one deterministic 1-spp scene, each shaded by a
+    different BRDF (incl. the normalized/kdfresnel variants)."""
+    name = "feat_brdfs"
+    xml = f"""<Scene>
+  <BackgroundColor>6 6 10</BackgroundColor>
+  <MaxRecursionDepth>2</MaxRecursionDepth>
+  {CAM.format(pos="0 1.2 6", gaze="0 -0.15 -1", name=name, extra="")}
+  <Lights>
+    <AmbientLight>14 14 14</AmbientLight>
+    <PointLight id="1"><Position>0 5 3</Position>
+      <Intensity>1500 1450 1400</Intensity></PointLight>
+  </Lights>
+  <BRDFs>
+    <OriginalPhong id="1"><Exponent>30</Exponent></OriginalPhong>
+    <ModifiedPhong id="2" normalized="true"><Exponent>40</Exponent></ModifiedPhong>
+    <OriginalBlinnPhong id="3"><Exponent>50</Exponent></OriginalBlinnPhong>
+    <ModifiedBlinnPhong id="4" normalized="true"><Exponent>60</Exponent></ModifiedBlinnPhong>
+    <TorranceSparrow id="5" kdfresnel="true"><Exponent>80</Exponent></TorranceSparrow>
+  </BRDFs>
+  <Materials>
+    <Material id="1"><AmbientReflectance>1 1 1</AmbientReflectance>
+      <DiffuseReflectance>0.55 0.55 0.55</DiffuseReflectance>
+      <SpecularReflectance>0.15 0.15 0.15</SpecularReflectance>
+      <PhongExponent>25</PhongExponent></Material>
+    <Material id="2" BRDF="1"><AmbientReflectance>1 1 1</AmbientReflectance>
+      <DiffuseReflectance>0.7 0.2 0.2</DiffuseReflectance>
+      <SpecularReflectance>0.5 0.5 0.5</SpecularReflectance>
+      <PhongExponent>25</PhongExponent></Material>
+    <Material id="3" BRDF="2"><AmbientReflectance>1 1 1</AmbientReflectance>
+      <DiffuseReflectance>0.2 0.7 0.2</DiffuseReflectance>
+      <SpecularReflectance>0.5 0.5 0.5</SpecularReflectance>
+      <PhongExponent>25</PhongExponent></Material>
+    <Material id="4" BRDF="3"><AmbientReflectance>1 1 1</AmbientReflectance>
+      <DiffuseReflectance>0.2 0.2 0.7</DiffuseReflectance>
+      <SpecularReflectance>0.5 0.5 0.5</SpecularReflectance>
+      <PhongExponent>25</PhongExponent></Material>
+    <Material id="5" BRDF="4"><AmbientReflectance>1 1 1</AmbientReflectance>
+      <DiffuseReflectance>0.6 0.6 0.2</DiffuseReflectance>
+      <SpecularReflectance>0.5 0.5 0.5</SpecularReflectance>
+      <PhongExponent>25</PhongExponent></Material>
+    <Material id="6" BRDF="5"><AmbientReflectance>1 1 1</AmbientReflectance>
+      <DiffuseReflectance>0.6 0.3 0.6</DiffuseReflectance>
+      <SpecularReflectance>0.5 0.5 0.5</SpecularReflectance>
+      <RefractionIndex>1.8</RefractionIndex>
+      <PhongExponent>25</PhongExponent></Material>
+  </Materials>
+  <VertexData>
+    -9 -1 6   9 -1 6   9 -1 -9   -9 -1 -9
+    -4 -0.2 0   -2 -0.2 -0.7   0 -0.2 -1   2 -0.2 -0.7   4 -0.2 0
+  </VertexData>
+  <Objects>
+    <Mesh id="1"><Material>1</Material><Faces>1 2 3  1 3 4</Faces></Mesh>
+    <Sphere id="1"><Material>2</Material><Center>5</Center><Radius>0.8</Radius></Sphere>
+    <Sphere id="2"><Material>3</Material><Center>6</Center><Radius>0.8</Radius></Sphere>
+    <Sphere id="3"><Material>4</Material><Center>7</Center><Radius>0.8</Radius></Sphere>
+    <Sphere id="4"><Material>5</Material><Center>8</Center><Radius>0.8</Radius></Sphere>
+    <Sphere id="5"><Material>6</Material><Center>9</Center><Radius>0.8</Radius></Sphere>
+  </Objects>
+</Scene>"""
+    scene_path, gold = fresh_golden_custom(name, xml)
+    _skip_if_none(gold)
+    ours, _ = _render_ours(scene_path)
+    _exact(ours, gold["png"], mean_tol=2.0, frac_tol=0.02)
+
+
+def test_normal_and_bump_maps_vs_reference():
+    """replace_normal (TBN normal map) and bump_normal (image height-field
+    bump) on quads, plus a Perlin bump sphere — deterministic 1 spp vs the
+    reference binary (mesh.cpp:264-357, sphere.cpp:116-169)."""
+    name = "feat_maps"
+    xml = f"""<Scene>
+  <BackgroundColor>6 6 10</BackgroundColor>
+  <MaxRecursionDepth>2</MaxRecursionDepth>
+  {CAM.format(pos="0 0.6 4.4", gaze="0 -0.1 -1", name=name, extra="")}
+  <Lights>
+    <AmbientLight>20 20 20</AmbientLight>
+    <PointLight id="1"><Position>1.5 3 2.5</Position>
+      <Intensity>900 900 900</Intensity></PointLight>
+  </Lights>
+  <Materials>
+    <Material id="1"><AmbientReflectance>1 1 1</AmbientReflectance>
+      <DiffuseReflectance>0.65 0.6 0.55</DiffuseReflectance>
+      <SpecularReflectance>0.25 0.25 0.25</SpecularReflectance>
+      <PhongExponent>35</PhongExponent></Material>
+  </Materials>
+  <Textures>
+    <Images>
+      <Image id="1">tex.png</Image>
+    </Images>
+    <TextureMap id="1" type="image">
+      <DecalMode>replace_normal</DecalMode><ImageId>1</ImageId>
+      <Interpolation>nearest</Interpolation>
+    </TextureMap>
+    <TextureMap id="2" type="image">
+      <DecalMode>bump_normal</DecalMode><ImageId>1</ImageId>
+      <Interpolation>nearest</Interpolation>
+      <BumpFactor>2.5</BumpFactor>
+    </TextureMap>
+    <TextureMap id="3" type="perlin">
+      <DecalMode>bump_normal</DecalMode>
+      <NoiseConversion>absval</NoiseConversion>
+      <NoiseScale>2.5</NoiseScale>
+    </TextureMap>
+  </Textures>
+  <VertexData>
+    -2.3 -1 -2   -0.3 -1 -2   -0.3 1 -2   -2.3 1 -2
+    0.3 -1 -2   2.3 -1 -2   2.3 1 -2   0.3 1 -2
+    0 -0.55 -0.4
+  </VertexData>
+  <TexCoordData>
+    0 1   1 1   1 0   0 0
+    0 1   1 1   1 0   0 0
+  </TexCoordData>
+  <Objects>
+    <Mesh id="1"><Material>1</Material><Textures>1</Textures>
+      <Faces>1 2 3  1 3 4</Faces></Mesh>
+    <Mesh id="2"><Material>1</Material><Textures>2</Textures>
+      <Faces>5 6 7  5 7 8</Faces></Mesh>
+    <Sphere id="1"><Material>1</Material><Textures>3</Textures>
+      <Center>9</Center><Radius>0.45</Radius></Sphere>
+  </Objects>
+</Scene>"""
+    scene_path, gold = fresh_golden_custom(
+        name, xml, aux_files={"inputs/tex.png": _checker_png()})
+    _skip_if_none(gold)
+    ours, _ = _render_ours(scene_path)
+    _exact(ours, gold["png"], mean_tol=2.5, frac_tol=0.03)
+
+
+def test_replace_all_and_background_textures_vs_reference():
+    """replace_all short-circuits shading (raytracer.cpp:87-89);
+    replace_background drives primary-miss color from screen-space UVs
+    (raytracer.cpp:49-53).  replace_ks is intentionally NOT cross-validated:
+    the reference samples the *diffuse* texture pointer for it
+    (raytracer.cpp:516-531, null-deref without one) — divergence documented
+    in ARCHITECTURE.md."""
+    name = "feat_replall"
+    xml = f"""<Scene>
+  <BackgroundColor>6 6 10</BackgroundColor>
+  <MaxRecursionDepth>2</MaxRecursionDepth>
+  {CAM.format(pos="0 0.4 4", gaze="0 0 -1", name=name, extra="")}
+  <Lights>
+    <AmbientLight>20 20 20</AmbientLight>
+    <PointLight id="1"><Position>2 4 2</Position>
+      <Intensity>800 800 800</Intensity></PointLight>
+  </Lights>
+  <Materials>
+    <Material id="1"><AmbientReflectance>1 1 1</AmbientReflectance>
+      <DiffuseReflectance>0.6 0.6 0.6</DiffuseReflectance>
+      <SpecularReflectance>0.1 0.1 0.1</SpecularReflectance>
+      <PhongExponent>10</PhongExponent></Material>
+  </Materials>
+  <Textures>
+    <Images>
+      <Image id="1">tex.png</Image>
+    </Images>
+    <TextureMap id="1" type="image">
+      <DecalMode>replace_all</DecalMode><ImageId>1</ImageId>
+      <Interpolation>bilinear</Interpolation>
+    </TextureMap>
+    <TextureMap id="2" type="image">
+      <DecalMode>replace_background</DecalMode><ImageId>1</ImageId>
+      <Interpolation>nearest</Interpolation>
+    </TextureMap>
+  </Textures>
+  <VertexData>
+    -1 -1 -2   1 -1 -2   1 1 -2   -1 1 -2
+  </VertexData>
+  <TexCoordData>
+    0 1   1 1   1 0   0 0
+  </TexCoordData>
+  <Objects>
+    <Mesh id="1"><Material>1</Material><Textures>1</Textures>
+      <Faces>1 2 3  1 3 4</Faces></Mesh>
+  </Objects>
+</Scene>"""
+    scene_path, gold = fresh_golden_custom(
+        name, xml, aux_files={"inputs/tex.png": _checker_png()})
+    _skip_if_none(gold)
+    ours, _ = _render_ours(scene_path)
+    _exact(ours, gold["png"], mean_tol=2.0, frac_tol=0.02)
