@@ -139,12 +139,6 @@ def mega_eligible(static, opts, pack=None) -> bool:
 
         if int(_np.asarray(pack.ml_face_count).max()) > 32:
             return False
-    if opts.path_tracing:
-        # PT envelope: diffuse + emissive materials only (specular PT scenes
-        # fall back to the jnp wavefront) -> the GI bounce is the lane's
-        # CONTINUATION and no stack is needed
-        return (not static.has_mirror and not static.has_dielectric
-                and not static.has_conductor)
     return True
 
 
@@ -271,11 +265,21 @@ def build_mega(pack, opts, host_rng: bool = False):
         for i in range(st.n_area))
 
     rr_floor = 8
-    if opts.path_tracing:
-        # eligible PT scenes are diffuse+emissive only: the GI bounce is the
-        # lane's continuation, so iterations track the chain length
-        max_iters = max_depth + (rr_floor if opts.russian_roulette else 0) + 2
+    any_spec_mat = st.has_mirror or st.has_conductor or st.has_dielectric
+    d_total = max_depth + (rr_floor if (opts.path_tracing
+                                        and opts.russian_roulette) else 0)
+    if opts.path_tracing and not any_spec_mat:
+        # diffuse+emissive PT: the GI bounce is the lane's continuation, so
+        # iterations track the chain length and no stack is needed
+        max_iters = d_total + 2
         stack_k = 0
+    elif opts.path_tracing:
+        # PT with specular materials: the specular chain continues
+        # in-register; GI (and dielectric refraction) children push.
+        # Branching b-ary tree node bound, while-loop exits early per block.
+        b = 3 if st.has_dielectric else 2
+        max_iters = min(b ** (min(d_total, 9) + 1), 4096) + 4
+        stack_k = (b - 1) * max(d_total, 1) + 4
     elif st.has_dielectric:
         max_iters = min(2 ** (max_depth + 1), 4096) + 4
         stack_k = max_depth + 2
@@ -616,6 +620,9 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
     eps = mc.eps
     diel = mc.has_dielectric
     any_spec = (mc.has_mirror or mc.has_conductor or diel) and mc.max_depth > 0
+    # the stack holds dielectric refraction legs and, in PT-with-specular
+    # scenes, the GI children of lanes whose specular chain continues
+    use_stack = diel or (mc.pt and any_spec)
     k_slots = mc.stack_k
     depth0 = jnp.full(shape, mc.max_depth, jnp.int32)
 
@@ -626,7 +633,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
     carry = [jnp.int32(0), ZERO, ZERO, ZERO,
              ox, oy, oz, dx, dy, dz, ONE, ONE, ONE,
              ZERO, ZERO, ZERO, ONE, depth0, ONE]
-    if diel:
+    if use_stack:
         kz = jnp.zeros((k_slots,) + shape, jnp.float32)
         ki = jnp.zeros((k_slots,) + shape, jnp.int32)
         carry += [jnp.zeros(shape, jnp.int32)] + [kz] * 13 + [ki]
@@ -639,7 +646,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
          cox, coy, coz, cdx, cdy, cdz, cwx, cwy, cwz,
          cax, cay, caz, cmed, cdep, cact_f) = c[:19]
         cact = cact_f > 0.5
-        if diel:
+        if use_stack:
             (sp, s_ox, s_oy, s_oz, s_dx, s_dy, s_dz, s_wx, s_wy, s_wz,
              s_ax, s_ay, s_az, s_med, s_dep) = c[19:]
 
@@ -882,20 +889,24 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         nmed = ONE
 
         if mc.pt:
-            # the GI sample is this lane's continuation: weight multiplies by
-            # Shade(w_i=gi, unit Li) * 2pi * rr_scale (raytracer.cpp:188,202);
-            # the reference recurses only when the GI ray HIT something
+            # GI child weight: Shade(w_i=gi, unit Li) * 2pi * rr_scale
+            # (raytracer.cpp:188,202); the reference recurses only when the
+            # GI ray HIT something
             cos_g = jnp.maximum(0.0, gdx * nx + gdy * ny + gdz * nz)
             ghx, ghy, ghz = norm3(gdx + wox, gdy + woy, gdz + woz)
             cos_gh = jnp.maximum(0.0, ghx * nx + ghy * ny + ghz * nz)
             spec_g = powmax(cos_gh, phong)
             fac = (2.0 * float(np.pi)) * rr_scale
-            new_act = g_hit
-            nox, noy, noz = gox, goy, goz
-            ndx, ndy, ndz = gdx, gdy, gdz
-            nwx = cwx * (kdx * cos_g + ksx * spec_g) * fac
-            nwy = cwy * (kdy * cos_g + ksy * spec_g) * fac
-            nwz = cwz * (kdz * cos_g + ksz * spec_g) * fac
+            gi_wx = cwx * (kdx * cos_g + ksx * spec_g) * fac
+            gi_wy = cwy * (kdy * cos_g + ksy * spec_g) * fac
+            gi_wz = cwz * (kdz * cos_g + ksz * spec_g) * fac
+            if not any_spec:
+                # diffuse-only PT: the GI sample IS the continuation
+                new_act = g_hit
+                nox, noy, noz = gox, goy, goz
+                ndx, ndy, ndz = gdx, gdy, gdz
+                nwx, nwy, nwz = gi_wx, gi_wy, gi_wz
+                nmed = cmed
 
         if any_spec:
             can = cdep > 0
@@ -1074,8 +1085,51 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
                 s_dep = jnp.where(ksel, (cdep - 1)[None], s_dep)
                 sp = sp + is_rl.astype(jnp.int32)
 
+        # ---- PT with specular: GI child pushes where a specular chain
+        # continues, else continues in-register (jnp _process_hit pushes
+        # both; order only affects fp summation) ----
+        if mc.pt and any_spec:
+            gi_cont = g_hit & (~new_act)
+            gi_push = g_hit & new_act
+            nox = jnp.where(gi_cont, gox, nox)
+            noy = jnp.where(gi_cont, goy, noy)
+            noz = jnp.where(gi_cont, goz, noz)
+            ndx = jnp.where(gi_cont, gdx, ndx)
+            ndy = jnp.where(gi_cont, gdy, ndy)
+            ndz = jnp.where(gi_cont, gdz, ndz)
+            nwx = jnp.where(gi_cont, gi_wx, nwx)
+            nwy = jnp.where(gi_cont, gi_wy, nwy)
+            nwz = jnp.where(gi_cont, gi_wz, nwz)
+            nax = jnp.where(gi_cont, 0.0, nax)
+            nay = jnp.where(gi_cont, 0.0, nay)
+            naz = jnp.where(gi_cont, 0.0, naz)
+            nmed = jnp.where(gi_cont, cmed, nmed)
+            iota_g = jax.lax.broadcasted_iota(
+                jnp.int32, (k_slots,) + shape, 0)
+            gsel = (iota_g == sp[None]) & gi_push[None]
+
+            def gpush(arr, val):
+                return jnp.where(gsel, val[None], arr)
+
+            s_ox = gpush(s_ox, gox)
+            s_oy = gpush(s_oy, goy)
+            s_oz = gpush(s_oz, goz)
+            s_dx = gpush(s_dx, gdx)
+            s_dy = gpush(s_dy, gdy)
+            s_dz = gpush(s_dz, gdz)
+            s_wx = gpush(s_wx, gi_wx)
+            s_wy = gpush(s_wy, gi_wy)
+            s_wz = gpush(s_wz, gi_wz)
+            s_ax = gpush(s_ax, ZERO)
+            s_ay = gpush(s_ay, ZERO)
+            s_az = gpush(s_az, ZERO)
+            s_med = gpush(s_med, cmed)
+            s_dep = jnp.where(gsel, (cdep - 1)[None], s_dep)
+            sp = sp + gi_push.astype(jnp.int32)
+            new_act = new_act | gi_cont
+
         # ---- pop for lanes without a continuation ----
-        if diel:
+        if use_stack:
             need = (~new_act) & (sp > 0)
             top = jnp.maximum(sp - 1, 0)
             iota_k = jax.lax.broadcasted_iota(jnp.int32, (k_slots,) + shape, 0)
@@ -1107,7 +1161,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         out = [it + 1, lr, lg, lb,
                nox, noy, noz, ndx, ndy, ndz, nwx, nwy, nwz,
                nax, nay, naz, nmed, ndep, jnp.where(act, 1.0, 0.0)]
-        if diel:
+        if use_stack:
             out += [sp, s_ox, s_oy, s_oz, s_dx, s_dy, s_dz,
                     s_wx, s_wy, s_wz, s_ax, s_ay, s_az, s_med, s_dep]
         return tuple(out)

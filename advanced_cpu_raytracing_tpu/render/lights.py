@@ -16,7 +16,7 @@ from advanced_cpu_raytracing_tpu.ops.intersect import transform_point
 from advanced_cpu_raytracing_tpu.ops.traverse import occluded
 from advanced_cpu_raytracing_tpu.ops.texture import sample_nearest
 from advanced_cpu_raytracing_tpu.render.shading import Surface, shade
-from advanced_cpu_raytracing_tpu.utils.math3d import dot, length, normalize
+from advanced_cpu_raytracing_tpu.utils.math3d import dot, length
 
 PI = jnp.float32(jnp.pi)
 
@@ -29,16 +29,6 @@ def env_sample_radiance(pack, d):
     img = pack.env_img[0]
     idx = jnp.full(d.shape[0], img, jnp.int32)
     return sample_nearest(pack.img_atlas, pack.img_w, pack.img_h, idx, u, v) * (2.0 * PI)
-
-
-def _shadow_query(pack, surf: Surface, light_pos, time, allow_pallas=True):
-    """IsInShadow (raytracer.cpp:567-583): offset origin along the normal by
-    shadow_ray_epsilon, normalized direction, blocked iff hit before light."""
-    to_light = light_pos - surf.point
-    dist = length(to_light)
-    d = to_light / jnp.maximum(dist, 1e-20)[:, None]
-    o = surf.point + surf.normal * pack.shadow_eps
-    return occluded(pack, o, d, dist, time, allow_pallas), d, dist
 
 
 def direct_lighting(pack, surf: Surface, w_o, time, key, skip_mlight=None,

@@ -66,10 +66,11 @@ def test_megakernel_matches_wavefront(scene):
 
 
 def test_ineligible_scenes_fall_back():
-    """PT / textured / motion scenes must not route through the kernel."""
+    """Differentiable renders must not route through the kernel (no VJP);
+    PT on specular scenes IS eligible since round 2."""
     cfg = load_scene(REF + "cornellbox_recursive_conductors.xml")
     pack = pack_scene(cfg)
-    assert not mega_eligible(
+    assert mega_eligible(
         pack.static, RenderOptions(max_depth=6, path_tracing=True))
     assert not mega_eligible(
         pack.static, RenderOptions(max_depth=6, differentiable=True))
@@ -306,3 +307,52 @@ def test_megakernel_motion_and_roughness(tmp_path):
 
     opts = options_for_camera(cfg, cfg.cameras[0])
     _mc_compare(pack, cfg, opts, n_seeds=16)
+
+
+@pytest.mark.parametrize("extra_mat,extra_obj", [
+    # mirror sphere in the PT box: specular chain + pushed GI children
+    ("""<Material id="5" type="mirror"><AmbientReflectance>0 0 0</AmbientReflectance>
+      <DiffuseReflectance>0.05 0.05 0.05</DiffuseReflectance>
+      <SpecularReflectance>0 0 0</SpecularReflectance>
+      <MirrorReflectance>0.85 0.85 0.85</MirrorReflectance></Material>""",
+     """<Sphere id="1"><Material>5</Material><Center>13</Center>
+      <Radius>0.4</Radius></Sphere>"""),
+    # dielectric sphere: 3-way branching (reflect cont + refract & GI pushes)
+    ("""<Material id="5" type="dielectric"><AmbientReflectance>0 0 0</AmbientReflectance>
+      <DiffuseReflectance>0 0 0</DiffuseReflectance>
+      <SpecularReflectance>0 0 0</SpecularReflectance>
+      <RefractionIndex>1.5</RefractionIndex>
+      <AbsorptionCoefficient>0.05 0.02 0.01</AbsorptionCoefficient></Material>""",
+     """<Sphere id="1"><Material>5</Material><Center>13</Center>
+      <Radius>0.4</Radius></Sphere>"""),
+])
+def test_megakernel_specular_path_tracing(tmp_path, extra_mat, extra_obj):
+    """PT with specular materials in-kernel: the specular chain continues
+    in-register while GI children (and dielectric refraction legs) push onto
+    the per-lane stack."""
+    cfg, pack = _pt_box_scene(tmp_path, "NextEventEstimation ImportanceSampling")
+    # rebuild the scene with an extra specular sphere + vertex
+    from tests.test_golden_features import PT_BOX
+
+    xml = PT_BOX.format(name="megaptspec", spp=1,
+                        params="NextEventEstimation ImportanceSampling")
+    xml = (xml.replace("0.7 0.7 0.7", "0.35 0.35 0.35")
+              .replace("0.7 0.12 0.12", "0.35 0.1 0.1")
+              .replace("0.12 0.7 0.12", "0.1 0.35 0.1")
+              .replace("<MaxRecursionDepth>4</MaxRecursionDepth>",
+                       "<MaxRecursionDepth>3</MaxRecursionDepth>")
+              .replace("</Materials>", extra_mat + "</Materials>")
+              .replace("-0.35 0.999 -0.25", "-0.35 0.999 -0.25   0 -0.5 0")
+              .replace("</Objects>", extra_obj + "</Objects>"))
+    p = tmp_path / "megaptspec.xml"
+    p.write_text(xml)
+    cfg = load_scene(str(p))
+    pack = pack_scene(cfg)
+    assert pack.static.has_mirror or pack.static.has_dielectric
+    from advanced_cpu_raytracing_tpu.render.renderer import options_for_camera
+
+    opts = options_for_camera(cfg, cfg.cameras[0])
+    assert opts.path_tracing
+    # the jnp wavefront's PT default is the stochastic single-path dielectric
+    # estimator; the kernel's deterministic split has the same expectation
+    _mc_compare(pack, cfg, opts, n_seeds=24)
