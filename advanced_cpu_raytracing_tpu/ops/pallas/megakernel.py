@@ -77,7 +77,8 @@ class MegaConsts:
     #              center 3, radius, mat_index)
     spheres: tuple
     # per material: (type, ambient3, diffuse3, specular3, mirror3, phong,
-    #                ior, cond_k, absorb3, radiance3, roughness)
+    #                ior, cond_k, absorb3, radiance3, roughness,
+    #                brdf_kind|-1, brdf_exponent, normalized, kdfresnel)
     materials: tuple
     point_lights: tuple  # of (pos3, intensity3)
     dir_lights: tuple  # of (unit_to_light3, radiance3)
@@ -120,7 +121,6 @@ def mega_eligible(static, opts, pack=None) -> bool:
         and (static.n_faces == 0 or static.n_work_items > 0)
         and (static.n_work_items > 0 or static.n_spheres > 0)
         and static.n_textures == 0
-        and static.n_brdfs == 0
         and static.n_env == 0
         and static.n_area <= 4
         and static.n_spot <= 4
@@ -218,7 +218,22 @@ def build_mega(pack, opts, host_rng: bool = False):
             tup(np.asarray(pack.mat_absorption)[i]),
             tup(np.asarray(pack.mat_radiance)[i]),
             float(np.asarray(pack.mat_roughness)[i]),
+            # 11-14: pluggable BRDF (kind or -1, exponent, normalized,
+            # kdfresnel) resolved from the scene's BRDF table
+            int(np.asarray(pack.mat_brdf)[i]) if st.n_brdfs else -1,
+            0.0, False, False,
         ))
+    if st.n_brdfs:
+        bk = np.asarray(pack.brdf_kind)
+        be = np.asarray(pack.brdf_exponent)
+        bn = np.asarray(pack.brdf_normalized)
+        bf = np.asarray(pack.brdf_kdfresnel)
+        materials = [
+            m[:11] + ((int(bk[m[11]]), float(be[m[11]]), bool(bn[m[11]]),
+                       bool(bf[m[11]])) if m[11] >= 0
+                      else (-1, 0.0, False, False))
+            for m in materials
+        ]
 
     # mesh lights: each face as (row in the tri table, area weight) so the
     # NEE loop can unroll with scalar constants (MeshLight::SampleRandomPoint,
@@ -749,14 +764,92 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         soy = py + ny * eps
         soz = pz + nz * eps
 
-        def add_light(lr, lg, lb, wix, wiy, wiz, irr_x, irr_y, irr_z, gate):
+        has_brdfs = any(m[11] >= 0 for m in mc.materials)
+
+        def shade_unit(wix, wiy, wiz):
+            """Shade with UNIT irradiance: the default diffuse+Blinn-Phong
+            split (GetDiffuse/GetSpecular, raytracer.cpp:540-554), overridden
+            per material by its pluggable BRDF value * cos(theta_i)
+            (Raytracer::Shade dispatch, raytracer.cpp:192-206; formulas
+            transcribed from ops/brdf.py <- src/brdf*.cpp with STATIC
+            per-material parameters)."""
             cos_t = jnp.maximum(0.0, wix * nx + wiy * ny + wiz * nz)
             hx, hy, hz = norm3(wix + wox, wiy + woy, wiz + woz)
-            cos_h = jnp.maximum(0.0, hx * nx + hy * ny + hz * nz)
-            spec = powmax(cos_h, phong)
-            lr = lr + jnp.where(gate, cwx * irr_x * (kdx * cos_t + ksx * spec), 0.0)
-            lg = lg + jnp.where(gate, cwy * irr_y * (kdy * cos_t + ksy * spec), 0.0)
-            lb = lb + jnp.where(gate, cwz * irr_z * (kdz * cos_t + ksz * spec), 0.0)
+            cos_hm = jnp.maximum(0.0, hx * nx + hy * ny + hz * nz)
+            spec = powmax(cos_hm, phong)
+            vx = kdx * cos_t + ksx * spec
+            vy = kdy * cos_t + ksy * spec
+            vz = kdz * cos_t + ksz * spec
+            if has_brdfs:
+                from advanced_cpu_raytracing_tpu.scene.types import BrdfType
+
+                pi = float(np.pi)
+                cos_ic = jnp.clip(wix * nx + wiy * ny + wiz * nz, -1.0, 1.0)
+                front = cos_ic > 0.0
+                cos_pos = jnp.maximum(cos_ic, 0.0)
+                cos_den = jnp.maximum(cos_ic, 1e-20)
+                ndwi = wix * nx + wiy * ny + wiz * nz
+                rlx, rly, rlz = norm3(2.0 * nx * ndwi - wix,
+                                      2.0 * ny * ndwi - wiy,
+                                      2.0 * nz * ndwi - wiz)
+                cos_r = jnp.clip(rlx * wox + rly * woy + rlz * woz, -1.0, 1.0)
+                cos_hc = jnp.clip(hx * nx + hy * ny + hz * nz, -1.0, 1.0)
+                for i, m in enumerate(mc.materials):
+                    if m[11] < 0:
+                        continue
+                    kind, e, normed, kdf = m[11], m[12], m[13], m[14]
+                    kd3, ks3, ior = m[2], m[3], m[6]
+                    if kind == int(BrdfType.PHONG):
+                        lobe = powmax(cos_r, e) / cos_den
+                        val = [kd3[c] + ks3[c] * lobe for c in range(3)]
+                    elif kind == int(BrdfType.MODIFIED_PHONG):
+                        if normed:
+                            lobe = (e + 2.0) / (2.0 * pi) * powmax(cos_r, e)
+                            val = [kd3[c] / pi + ks3[c] * lobe
+                                   for c in range(3)]
+                        else:
+                            lobe = powmax(cos_r, e)
+                            val = [kd3[c] + ks3[c] * lobe for c in range(3)]
+                    elif kind == int(BrdfType.BLINN_PHONG):
+                        lobe = powmax(cos_hc, e) / cos_den
+                        val = [kd3[c] + ks3[c] * lobe for c in range(3)]
+                    elif kind == int(BrdfType.MODIFIED_BLINN_PHONG):
+                        if normed:
+                            lobe = (e + 8.0) / (8.0 * pi) * powmax(cos_hc, e)
+                            val = [kd3[c] / pi + ks3[c] * lobe
+                                   for c in range(3)]
+                        else:
+                            lobe = powmax(cos_hc, e)
+                            val = [kd3[c] + ks3[c] * lobe for c in range(3)]
+                    else:  # TorranceSparrow (brdfTorranceSparrow.cpp:15-66)
+                        d_t = (e + 2.0) / (2.0 * pi) * powmax(cos_hc, e)
+                        r0 = (ior - 1.0) ** 2 / max((ior + 1.0) ** 2, 1e-20)
+                        hdwo = hx * wox + hy * woy + hz * woz
+                        om = jnp.maximum(1.0 - hdwo, 0.0)
+                        f_t = r0 + (1.0 - r0) * om * om * om * om * om
+                        ndwo = nx * wox + ny * woy + nz * woz
+                        wodh = jnp.where(hdwo == 0.0, 1e-20, hdwo)
+                        g_t = jnp.minimum(1.0, jnp.minimum(
+                            2.0 * cos_hc * ndwo / wodh,
+                            2.0 * cos_hc * ndwi / wodh))
+                        kd_c = ((1.0 - f_t) / pi) if kdf else (1.0 / pi)
+                        den = 4.0 * jnp.where(ndwi * ndwo == 0.0, 1e-20,
+                                              ndwi * ndwo)
+                        lobe = d_t * f_t * g_t / den
+                        val = [kd3[c] * kd_c + ks3[c] * lobe
+                               for c in range(3)]
+                    sel = matf == float(i)
+                    gated = [jnp.where(front, v, 0.0) * cos_pos for v in val]
+                    vx = jnp.where(sel, gated[0], vx)
+                    vy = jnp.where(sel, gated[1], vy)
+                    vz = jnp.where(sel, gated[2], vz)
+            return vx, vy, vz
+
+        def add_light(lr, lg, lb, wix, wiy, wiz, irr_x, irr_y, irr_z, gate):
+            vx, vy, vz = shade_unit(wix, wiy, wiz)
+            lr = lr + jnp.where(gate, cwx * irr_x * vx, 0.0)
+            lg = lg + jnp.where(gate, cwy * irr_y * vy, 0.0)
+            lb = lb + jnp.where(gate, cwz * irr_z * vz, 0.0)
             return lr, lg, lb
 
         for lp, li in (mc.point_lights if sample_direct else ()):
@@ -892,14 +985,11 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             # GI child weight: Shade(w_i=gi, unit Li) * 2pi * rr_scale
             # (raytracer.cpp:188,202); the reference recurses only when the
             # GI ray HIT something
-            cos_g = jnp.maximum(0.0, gdx * nx + gdy * ny + gdz * nz)
-            ghx, ghy, ghz = norm3(gdx + wox, gdy + woy, gdz + woz)
-            cos_gh = jnp.maximum(0.0, ghx * nx + ghy * ny + ghz * nz)
-            spec_g = powmax(cos_gh, phong)
+            gvx, gvy, gvz = shade_unit(gdx, gdy, gdz)
             fac = (2.0 * float(np.pi)) * rr_scale
-            gi_wx = cwx * (kdx * cos_g + ksx * spec_g) * fac
-            gi_wy = cwy * (kdy * cos_g + ksy * spec_g) * fac
-            gi_wz = cwz * (kdz * cos_g + ksz * spec_g) * fac
+            gi_wx = cwx * gvx * fac
+            gi_wy = cwy * gvy * fac
+            gi_wz = cwz * gvz * fac
             if not any_spec:
                 # diffuse-only PT: the GI sample IS the continuation
                 new_act = g_hit

@@ -356,3 +356,45 @@ def test_megakernel_specular_path_tracing(tmp_path, extra_mat, extra_obj):
     # the jnp wavefront's PT default is the stochastic single-path dielectric
     # estimator; the kernel's deterministic split has the same expectation
     _mc_compare(pack, cfg, opts, n_seeds=24)
+
+
+def test_megakernel_brdf_zoo(tmp_path):
+    """All five pluggable BRDF models in-kernel (static per-material params)
+    vs the jnp wavefront — deterministic scene, exact compare."""
+    import inspect
+    import re
+
+    from tests.test_golden_features import test_brdf_models_vs_reference as _src
+    from advanced_cpu_raytracing_tpu.ops.pallas.megakernel import (
+        build_mega as _bm,
+        mega_trace as _mt,
+        mega_eligible as _me,
+    )
+    from advanced_cpu_raytracing_tpu.render.renderer import options_for_camera
+
+    src = inspect.getsource(_src)
+    m = re.search(r'xml = f"""(<Scene>.*?</Scene>)"""', src, re.S)
+    name = "megabrdf"
+    from tests.test_golden_features import CAM  # noqa: F401 — used in eval
+
+    xml = eval(f'f"""{m.group(1)}"""')  # noqa: S307 — our own test template
+    p = tmp_path / "megabrdf.xml"
+    p.write_text(xml)
+    cfg = load_scene(str(p))
+    pack = pack_scene(cfg)
+    assert pack.static.n_brdfs == 5
+    opts = options_for_camera(cfg, cfg.cameras[0])
+    assert _me(pack.static, opts, pack)
+    mc, tab, ctab = _bm(pack, opts)
+    cam = build_camera(cfg.cameras[0])
+    rng = np.random.default_rng(4)
+    n = 2048
+    px = jnp.asarray(rng.uniform(0, 320, n).astype(np.float32))
+    py = jnp.asarray(rng.uniform(0, 240, n).astype(np.float32))
+    o, d = cam_mod.generate_rays(cam, px, py, jnp.zeros((n, 2)), dof=False)
+    l_mega = np.asarray(_mt(mc, tab, ctab, o, d, interpret=True))
+    l_jnp = np.asarray(trace_radiance(pack, cam, px, py,
+                                      jax.random.PRNGKey(0), opts))
+    diff = np.abs(l_mega - l_jnp)
+    assert np.mean(diff) < 0.01, np.mean(diff)
+    assert np.quantile(diff, 0.999) < 0.5
