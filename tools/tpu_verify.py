@@ -1,0 +1,90 @@
+"""One-shot TPU verification sweep: render every runnable golden scene
+through the production path (the fused megakernel routes automatically on
+TPU), diff against the best available oracle, and print wall-clocks.
+
+Usage: python tools/tpu_verify.py [--contrib] [--pt]
+Run alone — one TPU process at a time in this environment (see
+.claude/skills/verify/SKILL.md).
+
+Oracles: freshly-rendered reference outputs under /tmp/acrt_ref/golden when
+present (run the golden test suite once to populate), else the archived
+hw1_outputs PNGs.  Note the ARCHIVED alt2 PNG predates the reference's
+current camera (expect mean ~115 against it but ~0 against the fresh one)
+and the finely-tessellated contributor scenes carry fp silhouette noise
+(BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+TOP = ["simple", "two_spheres", "spheres", "spheres_mirror",
+       "cornellbox_recursive_conductors", "cornellbox_recursive_alt2",
+       "scienceTree", "scienceTree_diamond"]
+CONTRIB = ["akif_uslu/ton_Roosendaal_smooth", "akif_uslu/tower_smooth",
+           "akif_uslu/windmill_smooth", "akif_uslu/berserker_smooth",
+           "akif_uslu/car_smooth_fixed", "akif_uslu/low_poly_smooth"]
+INPUTS = pathlib.Path("/root/reference/archive/hw1_inputs")
+OUTPUTS = pathlib.Path("/root/reference/archive/hw1_outputs")
+FRESH = pathlib.Path("/tmp/acrt_ref/golden")
+
+
+def main() -> int:
+    from PIL import Image
+
+    from advanced_cpu_raytracing_tpu.render.renderer import (
+        _mega_route,
+        options_for_camera,
+        render_camera,
+    )
+    from advanced_cpu_raytracing_tpu.scene.pack import pack_scene
+    from advanced_cpu_raytracing_tpu.scene.xml_parser import load_scene
+
+    names = list(TOP)
+    if "--contrib" in sys.argv:
+        names += CONTRIB
+    for name in names:
+        scene = INPUTS / f"{name}.xml"
+        if not scene.exists():
+            print(f"{name}: scene missing")
+            continue
+        try:
+            cfg = load_scene(str(scene))
+            pack = pack_scene(cfg)
+        except FileNotFoundError as e:
+            print(f"{name}: assets missing ({e})")
+            continue
+        for cam_cfg in cfg.cameras:
+            routed = _mega_route(pack, options_for_camera(cfg, cam_cfg))
+            render_camera(pack, cfg, cam_cfg, seed=0, ldr=True)  # compile
+            t0 = time.perf_counter()
+            img = render_camera(pack, cfg, cam_cfg, seed=0, ldr=True)
+            dt = time.perf_counter() - t0
+            stem = cam_cfg.image_name.rsplit(".", 1)[0]
+            oracle = FRESH / f"{stem}.png"
+            tag = "fresh"
+            if not oracle.exists():
+                oracle = OUTPUTS / f"{name.rsplit('/', 1)[0]}" / f"{stem}.png" \
+                    if "/" in name else OUTPUTS / f"{stem}.png"
+                tag = "archived"
+            if oracle.exists():
+                gold = np.asarray(Image.open(oracle).convert("RGB"))
+                d = np.abs(img.astype(int) - gold.astype(int))
+                print(f"{stem}: mega={routed} {dt:.3f}s "
+                      f"mean={d.mean():.3f} frac>2={(d > 2).mean():.4f} "
+                      f"[{tag}]", flush=True)
+            else:
+                print(f"{stem}: mega={routed} {dt:.3f}s (no oracle)",
+                      flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
