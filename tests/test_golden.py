@@ -56,11 +56,12 @@ def _render(name, spp=None, force_bvh=False):
 @pytest.mark.golden
 @pytest.mark.parametrize("name,mean_tol,frac_tol", CASES)
 def test_golden(name, mean_tol, frac_tol):
-    if name.startswith("scienceTree") and not os.environ.get(
-            "ACRT_FULL_GOLDENS"):
-        pytest.skip("full-res BVH-path golden: minutes on a 2-vCPU host; "
-                    "set ACRT_FULL_GOLDENS=1 (the small-res tier below "
-                    "always covers this scene)")
+    if not os.environ.get("ACRT_FULL_GOLDENS"):
+        pytest.skip("full-res golden renders cost ~1 min/scene of CPU compile "
+                    "+ render; the small-res tier below checks every scene "
+                    "against the same fresh oracle in seconds, and "
+                    "tools/tpu_verify.py sweeps full-res on TPU.  Set "
+                    "ACRT_FULL_GOLDENS=1 to run these too")
     ours = _render(name)
     gold = fresh_golden(name)
     if gold is None:
@@ -101,13 +102,17 @@ def test_golden_smallres(name, mean_tol, frac_tol):
     from tests.conftest import fresh_golden_custom
 
     xml = (HW1_INPUTS / f"{name}.xml").read_text()
+    # scienceTree_diamond's deterministic dielectric split tree costs ~6 min
+    # of CPU wavefront time even at 1/6 scale — shrink it harder (the TPU
+    # sweep in tools/tpu_verify.py covers it at full resolution)
+    factor = 24 if name == "scienceTree_diamond" else 6
 
     def shrink(m):
         # heights must stay divisible by 8: the reference assigns height/8
         # rows per thread and SILENTLY DROPS the remainder rows
         # (main.cpp:38-39) — at 800/6 = 133 its bottom 5 rows are garbage
         w, h = int(m.group(1)), int(m.group(2))
-        w, h = max(w // 6 // 8 * 8, 16), max(h // 6 // 8 * 8, 16)
+        w, h = max(w // factor // 8 * 8, 16), max(h // factor // 8 * 8, 16)
         return f"<ImageResolution>{w} {h}</ImageResolution>"
 
     xml = re.sub(r"<ImageResolution>\s*(\d+)\s+(\d+)\s*</ImageResolution>",
