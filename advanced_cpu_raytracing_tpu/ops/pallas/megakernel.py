@@ -23,11 +23,17 @@ This kernel keeps everything on-chip instead:
     in-kernel per light with a dedicated occlusion sweep over the same VMEM
     tables (IsInShadow, raytracer.cpp:567-583).
 
-Eligibility is static per scene (see `mega_eligible`): Whitted scenes with
-point/directional lights and untextured default/mirror/conductor/dielectric
-materials — which covers every committed reference golden scene.  Everything
-else (textures, PT, area/spot/env/mesh lights, motion blur, roughness, AD)
-falls back to the jnp wavefront in render/integrator.py.
+Eligibility is static per scene (see `mega_eligible`) and now covers the
+reference's whole feature set except textures and environment lights:
+Whitted AND path tracing (diffuse or specular, any RendererParams
+permutation), all material types incl. the five pluggable BRDF models with
+static per-material parameters, point/directional/spot/area/mesh lights,
+emissive surfaces, motion blur, glossy roughness, DoF and stratified
+multisampling.  Randomness comes from the on-chip PRNG
+(pltpu.prng_random_bits; a host jax.random table in interpret mode, where
+pltpu.prng has no lowering).  Textured and env-lit scenes — per-lane
+gathers, which Mosaic cannot express — and reverse-mode AD fall back to the
+jnp wavefront in render/integrator.py.
 
 Semantics are a transcription of render/integrator.py (same reference quirks:
 2pi emissive factor, shadow epsilon offsets along the shading normal, the
