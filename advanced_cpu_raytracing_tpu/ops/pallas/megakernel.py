@@ -28,11 +28,16 @@ reference's whole feature set except textures and environment lights:
 Whitted AND path tracing (diffuse or specular, any RendererParams
 permutation), all material types incl. the five pluggable BRDF models with
 static per-material parameters, point/directional/spot/area/mesh lights,
-emissive surfaces, motion blur, glossy roughness, DoF and stratified
-multisampling.  Randomness comes from the on-chip PRNG
-(pltpu.prng_random_bits; a host jax.random table in interpret mode, where
-pltpu.prng has no lowering).  Textured and env-lit scenes — per-lane
-gathers, which Mosaic cannot express — and reverse-mode AD fall back to the
+emissive surfaces, motion blur, glossy roughness, DoF, stratified
+multisampling, and procedural Perlin textures (diffuse/specular/bump on
+untransformed meshes — the 512-entry permutation table is gathered with
+Mosaic's lane-wise `take_along_axis(axis=1)`, four perm rows masked by the
+row index; the 12 gradient vectors are derived arithmetically from the
+hash so no second table is needed).  Randomness comes from the on-chip
+PRNG (pltpu.prng_random_bits; a host jax.random table in interpret mode,
+where pltpu.prng has no lowering).  Image-textured and env-lit scenes —
+arbitrary-size per-lane gathers, which Mosaic cannot express (sublane
+axis-0 gathers are unsupported) — and reverse-mode AD fall back to the
 jnp wavefront in render/integrator.py.
 
 Semantics are a transcription of render/integrator.py (same reference quirks:
@@ -53,7 +58,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from advanced_cpu_raytracing_tpu.scene.types import MaterialType
+from advanced_cpu_raytracing_tpu.scene.types import DecalMode, MaterialType
 
 ROWS, LANES = 8, 128
 TILE = ROWS * LANES
@@ -72,6 +77,14 @@ _EMISSIVE = int(MaterialType.EMISSIVE)
 # when the whole ray block misses it — the TPU-shaped answer to per-ray BVH
 # pointer chasing (reference bvh.cpp:5-31).
 CHUNK = 128
+
+
+def _perm512_table() -> np.ndarray:
+    """Perlin permutation table duplicated to 512 entries, shaped (4, 128)
+    f32 for the kernel's lane-wise gather (values <= 255 are exact in f32)."""
+    from advanced_cpu_raytracing_tpu.ops.texture import _PERM256
+
+    return np.concatenate([_PERM256, _PERM256]).astype(np.float32).reshape(4, 128)
 
 
 @dataclass(frozen=True)
@@ -116,6 +129,15 @@ class MegaConsts:
     n_draws: int = 0  # randoms consumed per loop iteration (table layout)
     has_rough: bool = False  # any material roughness > 0.001
     has_motion: bool = False  # per-object linear motion (tri cols 16:19)
+    # ---- procedural Perlin textures (tri cols 19:22 = slot per face) ----
+    # per texture: (noise_scale, conversion 0=linear 1=absval, blend_kd 0/1,
+    # bump_factor); the three slot tuples list which texture ids actually
+    # appear in the diffuse / specular / bump slot so the kernel unrolls
+    # only the evals a scene needs
+    perlin_textures: tuple = ()
+    perlin_diff: tuple = ()
+    perlin_spec: tuple = ()
+    perlin_bump: tuple = ()
 
 
 def mega_eligible(static, opts, pack=None) -> bool:
@@ -126,7 +148,6 @@ def mega_eligible(static, opts, pack=None) -> bool:
         # scenes qualify with an empty one)
         and (static.n_faces == 0 or static.n_work_items > 0)
         and (static.n_work_items > 0 or static.n_spheres > 0)
-        and static.n_textures == 0
         and static.n_env == 0
         and static.n_area <= 4
         and static.n_spot <= 4
@@ -140,10 +161,49 @@ def mega_eligible(static, opts, pack=None) -> bool:
     )
     if not base:
         return False
+    if static.n_textures > 0 and not _perlin_eligible(static, pack):
+        return False
     if pack is not None and static.n_mesh_lights > 0:
         import numpy as _np
 
         if int(_np.asarray(pack.ml_face_count).max()) > 32:
+            return False
+    return True
+
+
+def _perlin_eligible(static, pack) -> bool:
+    """Textured scenes qualify only when every texture is an in-kernel-able
+    procedural Perlin: mesh-attached, diffuse/specular/bump decal modes, no
+    custom BRDFs (the kernel's BRDF branch bakes kd statically), no motion
+    (the hit point used for world-space sampling would live in shifted-ray
+    space), and — for bump — identity normal matrices, since the kernel only
+    has world-space normals while the gradient projection happens against
+    the object-space normal (shading.py::_apply_bump_normal_maps)."""
+    if pack is None or static.n_textures > 4 or static.has_motion:
+        return False
+    if getattr(static, "n_brdfs", 0) > 0:
+        return False
+    from advanced_cpu_raytracing_tpu.scene.pack import (
+        SLOT_NORMAL,
+        SLOT_REPLACE_ALL,
+        SLOT_BUMP,
+    )
+
+    kind = np.asarray(pack.tex_kind)
+    decal = np.asarray(pack.tex_decal)
+    ok = {int(DecalMode.REPLACE_KD), int(DecalMode.BLEND_KD),
+          int(DecalMode.REPLACE_KS), int(DecalMode.BUMP_NORMAL)}
+    if (kind != 1).any() or any(int(d) not in ok for d in decal):
+        return False
+    if static.n_spheres and (np.asarray(pack.sph_tex) >= 0).any():
+        return False
+    et = np.asarray(pack.ent_tex)
+    if (et[:, SLOT_NORMAL] >= 0).any() or (et[:, SLOT_REPLACE_ALL] >= 0).any():
+        return False
+    bump_ents = np.where(et[:, SLOT_BUMP] >= 0)[0]
+    if len(bump_ents):
+        nrm = np.asarray(pack.ent_nrm)[bump_ents]
+        if not np.allclose(nrm, np.eye(3, dtype=np.float32), atol=1e-6):
             return False
     return True
 
@@ -159,10 +219,14 @@ def build_mega(pack, opts, host_rng: bool = False):
     st = pack.static
     max_depth = opts.max_depth
     w = st.n_work_items
-    # motion scenes widen the table with per-face world-space motion (16:19)
-    n_cols = 24 if st.has_motion else 16
+    # motion scenes widen the table with per-face world-space motion (16:19);
+    # perlin-textured scenes with per-face texture slots (19:22)
+    has_perlin = st.n_textures > 0
+    n_cols = 24 if (st.has_motion or has_perlin) else 16
     tab = np.zeros((max(w, 1), n_cols), np.float32)
     tab[:, 13] = -1.0
+    if has_perlin:
+        tab[:, 19:22] = -1.0
     if w:
         tab[:, 0:3] = np.asarray(pack.wi_v0)[:w]
         tab[:, 3:6] = np.asarray(pack.wi_v1)[:w]
@@ -176,6 +240,17 @@ def build_mega(pack, opts, host_rng: bool = False):
                       == _EMISSIVE).astype(np.float32)
         if st.has_motion:
             tab[:, 16:19] = np.asarray(pack.wi_motion)[:w]
+        if has_perlin:
+            from advanced_cpu_raytracing_tpu.scene.pack import (
+                SLOT_BUMP,
+                SLOT_DIFFUSE,
+                SLOT_SPECULAR,
+            )
+
+            et = np.asarray(pack.ent_tex)
+            tab[:, 19] = et[wi_ent, SLOT_DIFFUSE].astype(np.float32)
+            tab[:, 20] = et[wi_ent, SLOT_SPECULAR].astype(np.float32)
+            tab[:, 21] = et[wi_ent, SLOT_BUMP].astype(np.float32)
 
     n_chunks = max((w + CHUNK - 1) // CHUNK, 1)
     ctab = np.zeros((n_chunks, 8), np.float32)
@@ -319,6 +394,21 @@ def build_mega(pack, opts, host_rng: bool = False):
     else:
         n_draws = 0
 
+    perlin_tex = ()
+    p_diff = p_spec = p_bump = ()
+    if has_perlin:
+        nscale = np.asarray(pack.tex_noise_scale)
+        nconv = np.asarray(pack.tex_noise_conv)
+        decal = np.asarray(pack.tex_decal)
+        bumpf = np.asarray(pack.tex_bump_factor)
+        perlin_tex = tuple(
+            (float(nscale[i]), int(nconv[i]),
+             int(int(decal[i]) == int(DecalMode.BLEND_KD)), float(bumpf[i]))
+            for i in range(st.n_textures))
+        p_diff = tuple(sorted(int(x) for x in set(tab[:w, 19]) if x >= 0))
+        p_spec = tuple(sorted(int(x) for x in set(tab[:w, 20]) if x >= 0))
+        p_bump = tuple(sorted(int(x) for x in set(tab[:w, 21]) if x >= 0))
+
     mc = MegaConsts(
         n_tri=w,
         spheres=tuple(spheres),
@@ -347,6 +437,10 @@ def build_mega(pack, opts, host_rng: bool = False):
         n_draws=n_draws,
         has_rough=has_rough,
         has_motion=st.has_motion,
+        perlin_textures=perlin_tex,
+        perlin_diff=p_diff,
+        perlin_spec=p_spec,
+        perlin_bump=p_bump,
     )
     return mc, jnp.asarray(tab), jnp.asarray(ctab)
 
@@ -357,8 +451,11 @@ def build_mega(pack, opts, host_rng: bool = False):
 
 
 def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
-            chunk_ref, seed_ref, rng_ref, lx_ref, ly_ref, lz_ref,
-            *, mc: MegaConsts):
+            chunk_ref, seed_ref, rng_ref, *rest, mc: MegaConsts):
+    if mc.perlin_textures:
+        perm_ref, lx_ref, ly_ref, lz_ref = rest
+    else:
+        lx_ref, ly_ref, lz_ref = rest
     shape = (ROWS, LANES)
     ZERO = jnp.zeros(shape, jnp.float32)
     ONE = jnp.ones(shape, jnp.float32)
@@ -411,6 +508,75 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         vy_ = nz * ux - nx * uz
         vz_ = nx * uy - ny * ux
         return (ux, uy, uz), norm3(vx_, vy_, vz_)
+
+    # ---- procedural Perlin textures (ops/texture.py::perlin_sample <-
+    # src/perlinTexture.h:76-133) ----
+    if mc.perlin_textures:
+        _pt = perm_ref[:, :]
+        # the 512-entry table as four pre-broadcast (8,128) rows; perm[idx]
+        # becomes a lane-wise take_along_axis masked by idx's row — the only
+        # gather form Mosaic lowers (sublane gathers are unsupported)
+        _perm_rows = [jnp.broadcast_to(_pt[r:r + 1, :], shape)
+                      for r in range(4)]
+
+        def perm_gather(idx_f):
+            idx = idx_f.astype(jnp.int32)
+            lane = jnp.bitwise_and(idx, 127)
+            row = jnp.right_shift(idx, 7)
+            out = ZERO
+            for r in range(4):
+                g = jnp.take_along_axis(_perm_rows[r], lane, axis=1)
+                out = out + jnp.where(row == r, g, 0.0)
+            return out
+
+        def fade_w(x):
+            # 1 - (6|x|^5 - 15|x|^4 + 10|x|^3), 0 beyond 1
+            # (perlinTexture.h:147-155)
+            x = jnp.abs(x)
+            x2 = x * x
+            x3 = x2 * x
+            w = -6.0 * x3 * x2 + 15.0 * x3 * x - 10.0 * x3 + 1.0
+            return jnp.where(x > 1.0, 0.0, w)
+
+        def perlin_unit(px, py, pz, scale: float, conv: int):
+            """Converted Perlin sample in [0,1] at (8,128) world positions.
+            Gradient components are derived arithmetically from the hash
+            (the classic 12-vector table has components in {-1,0,1})."""
+            px = px * scale
+            py = py * scale
+            pz = pz * scale
+            fx = jnp.floor(px)
+            fy = jnp.floor(py)
+            fz = jnp.floor(pz)
+            ddx = px - fx
+            ddy = py - fy
+            ddz = pz - fz
+            cx = jnp.bitwise_and(fx.astype(jnp.int32), 255).astype(jnp.float32)
+            cy = jnp.bitwise_and(fy.astype(jnp.int32), 255).astype(jnp.float32)
+            cz = jnp.bitwise_and(fz.astype(jnp.int32), 255).astype(jnp.float32)
+            total = ZERO
+            for ox_ in (0.0, 1.0):
+                for oy_ in (0.0, 1.0):
+                    for oz_ in (0.0, 1.0):
+                        h = perm_gather(cx + ox_ + perm_gather(
+                            cy + oy_ + perm_gather(cz + oz_)))
+                        h = h - 12.0 * jnp.floor(h / 12.0)  # % 12
+                        k = h - jnp.where(h >= 8.0, 8.0,
+                                          jnp.where(h >= 4.0, 4.0, 0.0))
+                        s0 = 1.0 - 2.0 * (k - 2.0 * jnp.floor(k / 2.0))
+                        s1 = 1.0 - 2.0 * jnp.floor(k / 2.0)
+                        gx = jnp.where(h < 8.0, s0, 0.0)
+                        gy = jnp.where(h < 4.0, s1,
+                                       jnp.where(h >= 8.0, s0, 0.0))
+                        gz = jnp.where(h < 4.0, 0.0, s1)
+                        c = (gx * (ddx - ox_) + gy * (ddy - oy_)
+                             + gz * (ddz - oz_))
+                        w = fade_w(ddx - ox_) * fade_w(ddy - oy_) \
+                            * fade_w(ddz - oz_)
+                        total = total + w * c
+            if conv:
+                return jnp.abs(total)
+            return (total + 1.0) * 0.5
 
     def sphere_local(s, px, py, pz, vx, vy, vz, is_point):
         """Apply sphere s's packed world->object transform."""
@@ -545,14 +711,16 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         Inactive lanes start with reject distance 0, so they never keep a
         culling chunk alive — as a block's shading tree dies down, whole
         triangle chunks stop being swept."""
-        init = (jnp.where(active, BIG, 0.0), ZERO, ZERO, ONE, ZERO,
-                jnp.full(shape, -1.0))
+        per = bool(mc.perlin_textures)
+        neg1 = jnp.full(shape, -1.0)
+        init = (jnp.where(active, BIG, 0.0), ZERO, ZERO, ONE, ZERO, neg1) \
+            + ((neg1, neg1, neg1) if per else ())
 
         def body(ti, carry):
-            t_b, nx, ny, nz, mf, ml = carry
+            t_b, nx, ny, nz, mf, ml = carry[:6]
             t, valid = tri_hit(ti, px, py, pz, vx, vy, vz)
             better = valid & (t < t_b)
-            return (
+            out = (
                 jnp.where(better, t, t_b),
                 jnp.where(better, tri_ref[ti, 9], nx),
                 jnp.where(better, tri_ref[ti, 10], ny),
@@ -560,11 +728,17 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
                 jnp.where(better, tri_ref[ti, 12], mf),
                 jnp.where(better, tri_ref[ti, 13], ml),
             )
+            if per:
+                out = out + tuple(
+                    jnp.where(better, tri_ref[ti, 19 + k], carry[6 + k])
+                    for k in range(3))
+            return out
 
         if mc.n_tri > 0:
             init = chunk_sweep(px, py, pz, vx, vy, vz, body, init,
                                live_of=lambda c: c[0])
-        t_b, nx, ny, nz, mf, ml = init
+        t_b, nx, ny, nz, mf, ml = init[:6]
+        tslots = init[6:9] if per else None
         for s in mc.spheres:
             t, valid, nwx, nwy, nwz = sphere_hit(s, px, py, pz, vx, vy, vz)
             better = valid & (t < t_b) & active
@@ -574,9 +748,12 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             nz = jnp.where(better, nwz, nz)
             mf = jnp.where(better, float(s[4]), mf)
             ml = jnp.where(better, -1.0, ml)
+            if per:
+                # eligible spheres are never textured (_perlin_eligible)
+                tslots = tuple(jnp.where(better, -1.0, s_) for s_ in tslots)
         hit = t_b < (BIG * 0.5)
         nx, ny, nz = norm3(nx, ny, nz)
-        return t_b, nx, ny, nz, mf, ml, hit
+        return t_b, nx, ny, nz, mf, ml, hit, tslots
 
     def shadow(px, py, pz, vx, vy, vz, limit, gate):
         """Occlusion along unit direction v up to `limit` for lanes in
@@ -671,8 +848,8 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             (sp, s_ox, s_oy, s_oz, s_dx, s_dy, s_dz, s_wx, s_wy, s_wz,
              s_ax, s_ay, s_az, s_med, s_dep) = c[19:]
 
-        t, nx, ny, nz, matf, mlf, hitv = trace(cox, coy, coz, cdx, cdy, cdz,
-                                               cact)
+        t, nx, ny, nz, matf, mlf, hitv, tslots = trace(
+            cox, coy, coz, cdx, cdy, cdz, cact)
         hit = hitv & cact
         t_safe = jnp.where(hit, t, 0.0)
 
@@ -694,6 +871,31 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         py = coy + t_safe * cdy
         pz = coz + t_safe * cdz
         wox, woy, woz = -cdx, -cdy, -cdz
+
+        # Perlin bump: world-space gradient of the scaled height field,
+        # projected off the normal (shading.py::_apply_bump_normal_maps <-
+        # mesh.cpp:290-309; identity-transform meshes only, see
+        # _perlin_eligible).  Applied before everything downstream — GI
+        # basis, shadow origins, specular children — like surface_at does.
+        if mc.perlin_bump:
+            td_f, ts_f, tb_f = tslots
+            beps = 1e-3
+            for ti_ in mc.perlin_bump:
+                nsc, cv, _bl, bf = mc.perlin_textures[ti_]
+                h0 = perlin_unit(px, py, pz, nsc, cv) * bf
+                gx_ = (perlin_unit(px + beps, py, pz, nsc, cv) * bf - h0) / beps
+                gy_ = (perlin_unit(px, py + beps, pz, nsc, cv) * bf - h0) / beps
+                gz_ = (perlin_unit(px, py, pz + beps, nsc, cv) * bf - h0) / beps
+                gpar = gx_ * nx + gy_ * ny + gz_ * nz
+                bx, by, bz = norm3(nx - (gx_ - gpar * nx),
+                                   ny - (gy_ - gpar * ny),
+                                   nz - (gz_ - gpar * nz))
+                m_ = tb_f == float(ti_)
+                nx = jnp.where(m_, bx, nx)
+                ny = jnp.where(m_, by, ny)
+                nz = jnp.where(m_, bz, nz)
+        elif mc.perlin_textures:
+            td_f, ts_f, tb_f = tslots
 
         inside = (cmed > 1.00001) if diel else FALSE
 
@@ -746,8 +948,8 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             goz = pz + nz * 1e-4
             # trace the GI ray now: the reference suppresses NEE for the
             # mesh light its GI ray hit (raytracer.cpp:180-188, 778-781)
-            g_t, _, _, _, _, g_ml, g_hit = trace(gox, goy, goz,
-                                                 gdx, gdy, gdz, gi_alive)
+            g_t, _, _, _, _, g_ml, g_hit, _ = trace(gox, goy, goz,
+                                                    gdx, gdy, gdz, gi_alive)
             g_hit = g_hit & gi_alive
             if len(mc.mesh_lights) > 0:
                 skip_ml = jnp.where(g_hit & (g_ml >= 0.0), g_ml, -1.0)
@@ -765,6 +967,25 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         kdx, kdy, kdz = mat_field3(matf, lambda m: m[2])
         ksx, ksy, ksz = mat_field3(matf, lambda m: m[3])
         phong = mat_field(matf, lambda m: m[5])
+
+        # Perlin diffuse / specular modulation: the greyscale sample replaces
+        # (or blend-averages) the reflectance before shade_unit closes over
+        # it, so direct lighting AND the PT GI weight see the textured value
+        # (shading.py::_apply_diffuse_texture / _apply_specular_texture)
+        for ti_ in mc.perlin_diff:
+            nsc, cv, blend, _bf = mc.perlin_textures[ti_]
+            val = perlin_unit(px, py, pz, nsc, cv)
+            m_ = td_f == float(ti_)
+            kdx = jnp.where(m_, (val + kdx) * 0.5 if blend else val, kdx)
+            kdy = jnp.where(m_, (val + kdy) * 0.5 if blend else val, kdy)
+            kdz = jnp.where(m_, (val + kdz) * 0.5 if blend else val, kdz)
+        for ti_ in mc.perlin_spec:
+            nsc, cv, blend, _bf = mc.perlin_textures[ti_]
+            val = perlin_unit(px, py, pz, nsc, cv)
+            m_ = ts_f == float(ti_)
+            ksx = jnp.where(m_, (val + ksx) * 0.5 if blend else val, ksx)
+            ksy = jnp.where(m_, (val + ksy) * 0.5 if blend else val, ksy)
+            ksz = jnp.where(m_, (val + ksz) * 0.5 if blend else val, ksz)
 
         sox = px + nx * eps
         soy = py + ny * eps
@@ -1320,14 +1541,20 @@ def mega_trace_flat(mc: MegaConsts, tri_tab, chunk_tab, o, d,
                             memory_space=pltpu.VMEM)
     seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
+    extra_in, extra_specs = [], []
+    if mc.perlin_textures:
+        extra_in.append(jnp.asarray(_perm512_table()))
+        extra_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
     lx, ly, lz = pl.pallas_call(
         functools.partial(_kernel, mc=mc),
         grid=grid,
-        in_specs=[ray_spec] * 6 + [tri_spec] * 2 + [seed_spec, rng_spec],
+        in_specs=([ray_spec] * 6 + [tri_spec] * 2 + [seed_spec, rng_spec]
+                  + extra_specs),
         out_specs=[out_spec] * 3,
         out_shape=out_shape,
         interpret=interpret,
-    )(*cols, tri_tab, chunk_tab, seed_arr, rng_tab)
+    )(*cols, tri_tab, chunk_tab, seed_arr, rng_tab, *extra_in)
     return lx.reshape(-1)[:r], ly.reshape(-1)[:r], lz.reshape(-1)[:r]
 
 

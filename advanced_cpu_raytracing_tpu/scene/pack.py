@@ -474,7 +474,7 @@ def pack_scene(cfg: SceneConfig) -> ScenePack:
 
     bg_tex = tex_index.get(cfg.background_texture_id, -1) if cfg.background_texture_id else -1
 
-    def tex_slots(tex_ids: list[int]) -> np.ndarray:
+    def tex_slots(tex_ids: list[int], has_uv: bool = True) -> np.ndarray:
         slots = np.full(5, -1, np.int32)
         for tid in tex_ids:
             if tid in tex_index:
@@ -482,7 +482,18 @@ def pack_scene(cfg: SceneConfig) -> ScenePack:
                 slot = _DECAL_TO_SLOT.get(t.decal)
                 if slot is not None:
                     slots[slot] = tex_index[tid]
+        if not has_uv:
+            # the reference's whole mesh normal/bump block sits inside
+            # `if (uv.size() > 0)` (mesh.cpp:245-309): without TexCoordData
+            # even PERLIN bump — which needs no UVs — silently no-ops.
+            # Spheres are not gated (sphere.cpp derives its own phi/theta UV).
+            slots[SLOT_NORMAL] = -1
+            slots[SLOT_BUMP] = -1
         return slots
+
+    def mesh_has_uv(mesh) -> bool:
+        return (mesh.uv_indices is not None and mesh.uvs is not None
+                and len(mesh.uvs) > 0)
 
     # ---------------- entities: meshes then instances ----------------
     mesh_by_id: dict[int, int] = {}
@@ -512,7 +523,7 @@ def pack_scene(cfg: SceneConfig) -> ScenePack:
             wbb_min=wbb_min, wbb_max=wbb_max,
             motion=(mesh.motion_blur if mesh.motion_blur is not None else np.zeros(3)),
             material=mat_idx, emissive=bool(is_emissive), mlight=mlight,
-            tex=tex_slots(mesh.textures),
+            tex=tex_slots(mesh.textures, has_uv=mesh_has_uv(mesh)),
         ))
 
     # instances: resolve chains; parser.cpp:374-386 follows to the root base
@@ -553,7 +564,7 @@ def pack_scene(cfg: SceneConfig) -> ScenePack:
             wbb_min=wbb_min, wbb_max=wbb_max,
             motion=(inst.motion_blur if inst.motion_blur is not None else np.zeros(3)),
             material=mat_idx, emissive=bool(is_emissive), mlight=-1,
-            tex=tex_slots(inst.textures),
+            tex=tex_slots(inst.textures, has_uv=mesh_has_uv(base_mesh)),
         ))
 
     n_ent = max(len(ent_rows), 1)

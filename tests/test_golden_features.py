@@ -714,3 +714,37 @@ def test_replace_all_and_background_textures_vs_reference():
     _skip_if_none(gold)
     ours, _ = _render_ours(scene_path)
     _exact(ours, gold["png"], mean_tol=2.0, frac_tol=0.02)
+
+
+def test_mesh_perlin_bump_vs_reference():
+    """Perlin textures on MESHES — replace_kd(absval), blend_kd, replace_ks
+    and bump_normal plus a mirror — vs the reference binary.  Also covers
+    the reference's uv-gate quirk (mesh.cpp:245: the whole normal/bump block
+    needs TexCoordData, even for UV-free perlin bump), which the pack
+    replicates by clearing the slots (scene/pack.py::tex_slots).  On TPU
+    this scene routes through the fused megakernel's lane-gathered perm
+    table (tests/test_megakernel.py proves kernel==wavefront)."""
+    import re
+
+    from tests.test_megakernel import PERLIN_SCENE
+
+    xml = PERLIN_SCENE.replace("megaperlin", "feat_meshperlin")
+    # replace_ks is intentionally NOT cross-validated (the reference samples
+    # the *diffuse* texture pointer for it — see
+    # test_replace_all_and_background_textures_vs_reference); strip it here
+    # so the oracle comparison stays pure.  The kernel==wavefront test keeps
+    # it (tests/test_megakernel.py::test_megakernel_perlin_textures).
+    xml = xml.replace("<Textures>2 4</Textures>", "<Textures>2</Textures>")
+    assert "<Textures>2 4" not in xml
+    scene_path, gold = fresh_golden_custom("feat_meshperlin", xml)
+    _skip_if_none(gold)
+    ours, _ = _render_ours(scene_path)
+    _exact(ours, gold["png"], mean_tol=2.0, frac_tol=0.02)
+
+    # uv-less variant: the reference silently skips mesh bump; so do we
+    nouv = re.sub(r"<TexCoordData>.*?</TexCoordData>", "", xml, flags=re.S)
+    assert nouv != xml
+    scene_path2, gold2 = fresh_golden_custom("feat_meshperlin_nouv", nouv)
+    _skip_if_none(gold2)
+    ours2, _ = _render_ours(scene_path2)
+    _exact(ours2, gold2["png"], mean_tol=2.0, frac_tol=0.02)

@@ -398,3 +398,189 @@ def test_megakernel_brdf_zoo(tmp_path):
     diff = np.abs(l_mega - l_jnp)
     assert np.mean(diff) < 0.01, np.mean(diff)
     assert np.quantile(diff, 0.999) < 0.5
+
+
+PERLIN_SCENE = """<Scene>
+  <BackgroundColor>4 4 8</BackgroundColor>
+  <MaxRecursionDepth>3</MaxRecursionDepth>
+  <ShadowRayEpsilon>1e-3</ShadowRayEpsilon>
+  <Cameras><Camera id="1">
+    <Position>0 1.2 4</Position><Gaze>0 -0.25 -1</Gaze><Up>0 1 0</Up>
+    <NearPlane>-1 1 -0.75 0.75</NearPlane><NearDistance>1</NearDistance>
+    <ImageResolution>320 240</ImageResolution>
+    <ImageName>megaperlin.png</ImageName>
+  </Camera></Cameras>
+  <Lights>
+    <AmbientLight>25 25 25</AmbientLight>
+    <PointLight id="1"><Position>2 4 2</Position>
+      <Intensity>900 900 900</Intensity></PointLight>
+  </Lights>
+  <Materials>
+    <Material id="1"><AmbientReflectance>1 1 1</AmbientReflectance>
+      <DiffuseReflectance>0.7 0.5 0.4</DiffuseReflectance>
+      <SpecularReflectance>0.3 0.3 0.3</SpecularReflectance>
+      <PhongExponent>25</PhongExponent></Material>
+    <Material id="2"><AmbientReflectance>1 1 1</AmbientReflectance>
+      <DiffuseReflectance>0.2 0.4 0.8</DiffuseReflectance>
+      <SpecularReflectance>0.5 0.5 0.5</SpecularReflectance>
+      <PhongExponent>60</PhongExponent></Material>
+    <Material id="3" type="mirror"><AmbientReflectance>1 1 1</AmbientReflectance>
+      <DiffuseReflectance>0.1 0.1 0.1</DiffuseReflectance>
+      <SpecularReflectance>0.1 0.1 0.1</SpecularReflectance>
+      <MirrorReflectance>0.9 0.9 0.9</MirrorReflectance>
+      <PhongExponent>5</PhongExponent></Material>
+  </Materials>
+  <Textures>
+    <TextureMap id="1" type="perlin">
+      <DecalMode>replace_kd</DecalMode>
+      <NoiseConversion>absval</NoiseConversion>
+      <NoiseScale>3</NoiseScale>
+    </TextureMap>
+    <TextureMap id="2" type="perlin">
+      <DecalMode>blend_kd</DecalMode>
+      <NoiseConversion>linear</NoiseConversion>
+      <NoiseScale>1.5</NoiseScale>
+    </TextureMap>
+    <TextureMap id="3" type="perlin">
+      <DecalMode>bump_normal</DecalMode>
+      <NoiseConversion>linear</NoiseConversion>
+      <NoiseScale>2.2</NoiseScale>
+      <BumpFactor>3</BumpFactor>
+    </TextureMap>
+    <TextureMap id="4" type="perlin">
+      <DecalMode>replace_ks</DecalMode>
+      <NoiseConversion>absval</NoiseConversion>
+      <NoiseScale>4</NoiseScale>
+    </TextureMap>
+  </Textures>
+  <VertexData>
+    -8 -1 4   8 -1 4   8 -1 -12   -8 -1 -12
+    -8 -1 -6   8 -1 -6   8 7 -6   -8 7 -6
+    -3 -1 1   -1 -1 1   -1 1 1    -3 1 1
+    1 -1 0.5   3 -1 0.5   3 1 0.5   1 1 0.5
+  </VertexData>
+  <TexCoordData>
+    0 1   1 1   1 0   0 0
+    0 1   1 1   1 0   0 0
+    0 1   1 1   1 0   0 0
+    0 1   1 1   1 0   0 0
+  </TexCoordData>
+  <Objects>
+    <Mesh id="1"><Material>1</Material><Textures>1 3</Textures>
+      <Faces>1 2 3  1 3 4</Faces></Mesh>
+    <Mesh id="2"><Material>2</Material><Textures>2 4</Textures>
+      <Faces>5 6 7  5 7 8</Faces></Mesh>
+    <Mesh id="3"><Material>3</Material>
+      <Faces>9 10 11  9 11 12</Faces></Mesh>
+    <Mesh id="4"><Material>2</Material><Textures>2</Textures>
+      <Faces>13 14 15  13 15 16</Faces></Mesh>
+  </Objects>
+</Scene>"""
+
+
+def test_megakernel_perlin_textures(tmp_path):
+    """Procedural Perlin textures in-kernel — replace_kd (absval), blend_kd
+    (linear), replace_ks, and bump_normal, with a mirror bouncing onto the
+    textured floor — vs the jnp wavefront; deterministic, exact compare.
+    The perm lookup is the lane-wise take_along_axis gather (megakernel.py
+    perm_gather) and must match ops/texture.py::perlin_sample bit-for-bit."""
+    from advanced_cpu_raytracing_tpu.ops.pallas.megakernel import (
+        build_mega as _bm,
+        mega_trace as _mt,
+        mega_eligible as _me,
+    )
+    from advanced_cpu_raytracing_tpu.render.renderer import options_for_camera
+
+    p = tmp_path / "megaperlin.xml"
+    p.write_text(PERLIN_SCENE)
+    cfg = load_scene(str(p))
+    pack = pack_scene(cfg)
+    assert pack.static.n_textures == 4
+    opts = options_for_camera(cfg, cfg.cameras[0])
+    assert _me(pack.static, opts, pack)
+    mc, tab, ctab = _bm(pack, opts)
+    assert mc.perlin_diff and mc.perlin_spec and mc.perlin_bump
+    cam = build_camera(cfg.cameras[0])
+    rng = np.random.default_rng(11)
+    n = 2048
+    px = jnp.asarray(rng.uniform(0, 320, n).astype(np.float32))
+    py = jnp.asarray(rng.uniform(0, 240, n).astype(np.float32))
+    o, d = cam_mod.generate_rays(cam, px, py, jnp.zeros((n, 2)), dof=False)
+    l_mega = np.asarray(_mt(mc, tab, ctab, o, d, interpret=True))
+    l_jnp = np.asarray(trace_radiance(pack, cam, px, py,
+                                      jax.random.PRNGKey(0), opts))
+    diff = np.abs(l_mega - l_jnp)
+    assert np.mean(diff) < 0.01, np.mean(diff)
+    assert np.quantile(diff, 0.999) < 0.5
+
+
+def test_megakernel_perlin_eligibility(tmp_path):
+    """Image textures, textured spheres, and transformed bump meshes stay on
+    the jnp fallback; the all-perlin mesh scene routes to the kernel."""
+    from advanced_cpu_raytracing_tpu.ops.pallas.megakernel import (
+        mega_eligible as _me,
+    )
+    from advanced_cpu_raytracing_tpu.render.renderer import options_for_camera
+
+    # textured sphere (the feat_perlin scene) -> fallback
+    from tests.test_golden_features import CAM  # noqa: F401
+
+    sphere_xml = PERLIN_SCENE.replace(
+        "<Mesh id=\"4\"><Material>2</Material><Textures>2</Textures>\n"
+        "      <Faces>13 14 15  13 15 16</Faces></Mesh>",
+        "<Sphere id=\"1\"><Material>2</Material><Textures>2</Textures>\n"
+        "      <Center>13</Center><Radius>1.0</Radius></Sphere>")
+    assert sphere_xml != PERLIN_SCENE
+    p = tmp_path / "sph.xml"
+    p.write_text(sphere_xml)
+    cfg = load_scene(str(p))
+    pack = pack_scene(cfg)
+    assert not _me(pack.static, options_for_camera(cfg, cfg.cameras[0]), pack)
+
+    # transformed bump mesh -> fallback (kernel bump needs identity normals)
+    rot_xml = PERLIN_SCENE.replace(
+        "</Textures>",
+        "</Textures>\n  <Transformations>"
+        "<Rotation id=\"1\">30 0 1 0</Rotation></Transformations>"
+    ).replace(
+        "<Mesh id=\"1\"><Material>1</Material><Textures>1 3</Textures>",
+        "<Mesh id=\"1\"><Material>1</Material><Textures>1 3</Textures>"
+        "<Transformations>r1</Transformations>")
+    assert rot_xml != PERLIN_SCENE
+    p2 = tmp_path / "rot.xml"
+    p2.write_text(rot_xml)
+    cfg2 = load_scene(str(p2))
+    pack2 = pack_scene(cfg2)
+    assert not _me(pack2.static,
+                   options_for_camera(cfg2, cfg2.cameras[0]), pack2)
+
+
+def test_mesh_bump_requires_texcoords(tmp_path):
+    """The reference's whole mesh normal/bump block is gated on the mesh
+    having UV data (mesh.cpp:245) — perlin bump on a UV-less mesh silently
+    no-ops.  The pack replicates that quirk by clearing the normal/bump
+    slots (scene/pack.py::tex_slots), so both the kernel and the fallback
+    agree with the reference."""
+    import re
+
+    from advanced_cpu_raytracing_tpu.ops.pallas.megakernel import (
+        build_mega as _bm,
+        mega_eligible as _me,
+    )
+    from advanced_cpu_raytracing_tpu.render.renderer import options_for_camera
+    from advanced_cpu_raytracing_tpu.scene.pack import SLOT_BUMP, SLOT_DIFFUSE
+
+    xml = re.sub(r"<TexCoordData>.*?</TexCoordData>", "", PERLIN_SCENE,
+                 flags=re.S)
+    assert xml != PERLIN_SCENE
+    p = tmp_path / "nouv.xml"
+    p.write_text(xml)
+    cfg = load_scene(str(p))
+    pack = pack_scene(cfg)
+    et = np.asarray(pack.ent_tex)
+    assert (et[:, SLOT_BUMP] == -1).all()  # bump gated off
+    assert (et[:, SLOT_DIFFUSE] >= 0).any()  # kd texture unaffected
+    opts = options_for_camera(cfg, cfg.cameras[0])
+    assert _me(pack.static, opts, pack)
+    mc, _, _ = _bm(pack, opts)
+    assert mc.perlin_bump == () and mc.perlin_diff
