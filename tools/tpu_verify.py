@@ -2,7 +2,7 @@
 through the production path (the fused megakernel routes automatically on
 TPU), diff against the best available oracle, and print wall-clocks.
 
-Usage: python tools/tpu_verify.py [--contrib] [--pt]
+Usage: python tools/tpu_verify.py [--contrib] [--pt] [--perlin]
 Run alone — one TPU process at a time in this environment (see
 .claude/skills/verify/SKILL.md).
 
@@ -83,6 +83,32 @@ def main() -> int:
             else:
                 print(f"{stem}: mega={routed} {dt:.3f}s (no oracle)",
                       flush=True)
+
+    if "--perlin" in sys.argv:
+        # authored mesh-perlin scene: compiled-mode perm-table gathers vs the
+        # jnp fallback (bit-identical expected; tests only cover interpret)
+        import re
+        import tempfile
+
+        src = pathlib.Path(__file__).resolve().parents[1] \
+            / "tests" / "test_megakernel.py"
+        m = re.search(r'PERLIN_SCENE = """(<Scene>.*?</Scene>)"""',
+                      src.read_text(), re.S)
+        with tempfile.NamedTemporaryFile("w", suffix=".xml",
+                                         delete=False) as f:
+            f.write(m.group(1))
+            path = f.name
+        cfg = load_scene(path)
+        pack = pack_scene(cfg)
+        cam_cfg = cfg.cameras[0]
+        assert _mega_route(pack, options_for_camera(cfg, cam_cfg))
+        img = np.asarray(render_camera(pack, cfg, cam_cfg, seed=0, ldr=True))
+        os.environ["ACRT_NO_MEGA"] = "1"
+        ref = np.asarray(render_camera(pack, cfg, cam_cfg, seed=0, ldr=True))
+        del os.environ["ACRT_NO_MEGA"]
+        d = np.abs(img.astype(int) - ref.astype(int))
+        print(f"megaperlin: compiled-kernel vs jnp fallback "
+              f"mean={d.mean():.4f} max={d.max()}", flush=True)
     return 0
 
 
