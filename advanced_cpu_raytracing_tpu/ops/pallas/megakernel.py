@@ -138,6 +138,16 @@ class MegaConsts:
     perlin_diff: tuple = ()
     perlin_spec: tuple = ()
     perlin_bump: tuple = ()
+    # ---- image textures (tri cols 19:22 = slot per face, 24:30 = uv0/1/2;
+    # ImageTexture, src/imageTexture.h:60-133) ----
+    # per texture index: () for non-image textures, else (interp 0=nearest
+    # 1=bilinear, blend_kd 0/1, width, height, row0, n_rows) where
+    # [row0, row0+n_rows) are this texture's rows in the packed texel table
+    # (one f32 per texel: r + 256*g + 65536*b, exact for LDR 0..255).  The
+    # slot tuples mirror perlin_diff/perlin_spec.
+    image_textures: tuple = ()
+    img_diff: tuple = ()
+    img_spec: tuple = ()
 
 
 def mega_eligible(static, opts, pack=None) -> bool:
@@ -161,7 +171,7 @@ def mega_eligible(static, opts, pack=None) -> bool:
     )
     if not base:
         return False
-    if static.n_textures > 0 and not _perlin_eligible(static, pack):
+    if static.n_textures > 0 and not _textures_eligible(static, pack):
         return False
     if pack is not None and static.n_mesh_lights > 0:
         import numpy as _np
@@ -171,14 +181,30 @@ def mega_eligible(static, opts, pack=None) -> bool:
     return True
 
 
-def _perlin_eligible(static, pack) -> bool:
-    """Textured scenes qualify only when every texture is an in-kernel-able
-    procedural Perlin: mesh-attached, diffuse/specular/bump decal modes, no
-    custom BRDFs (the kernel's BRDF branch bakes kd statically), no motion
-    (the hit point used for world-space sampling would live in shifted-ray
-    space), and — for bump — identity normal matrices, since the kernel only
-    has world-space normals while the gradient projection happens against
-    the object-space normal (shading.py::_apply_bump_normal_maps)."""
+# Texel budget per in-kernel image texture: 128 gather rows of 128 lanes.
+# The row-masked lane gather is O(rows) vector ops per tap; measured still
+# cheap at 128 rows compiled (ARCHITECTURE.md "gather headroom").
+_IMG_MAX_TEXELS = 16384
+
+
+def _textures_eligible(static, pack) -> bool:
+    """Textured scenes qualify only when every texture is in-kernel-able:
+
+    * procedural Perlin — mesh-attached, diffuse/specular/bump decal modes,
+      and — for bump — identity normal matrices, since the kernel only has
+      world-space normals while the gradient projection happens against the
+      object-space normal (shading.py::_apply_bump_normal_maps);
+    * LDR image — diffuse/specular decal modes (replace_kd/blend_kd/
+      replace_ks), integer texel values in 0..255 (the kernel packs RGB into
+      one f32 per texel), and <= _IMG_MAX_TEXELS texels so the row-masked
+      lane gather stays cheap (HDR/EXR and megapixel textures fall back).
+
+    Common gates: no custom BRDFs (the kernel's BRDF branch bakes kd
+    statically), no motion (the hit point used for world-space Perlin
+    sampling would live in shifted-ray space), no sphere textures, no
+    normal-map / replace_all slots (image height-field bump likewise
+    falls back — it needs the UV-space forward differences + TBN of
+    mesh.cpp:310-357)."""
     if pack is None or static.n_textures > 4 or static.has_motion:
         return False
     if getattr(static, "n_brdfs", 0) > 0:
@@ -191,9 +217,32 @@ def _perlin_eligible(static, pack) -> bool:
 
     kind = np.asarray(pack.tex_kind)
     decal = np.asarray(pack.tex_decal)
-    ok = {int(DecalMode.REPLACE_KD), int(DecalMode.BLEND_KD),
-          int(DecalMode.REPLACE_KS), int(DecalMode.BUMP_NORMAL)}
-    if (kind != 1).any() or any(int(d) not in ok for d in decal):
+    ok_perlin = {int(DecalMode.REPLACE_KD), int(DecalMode.BLEND_KD),
+                 int(DecalMode.REPLACE_KS), int(DecalMode.BUMP_NORMAL)}
+    ok_image = {int(DecalMode.REPLACE_KD), int(DecalMode.BLEND_KD),
+                int(DecalMode.REPLACE_KS)}
+    total_texels = 0
+    for i in range(static.n_textures):
+        if kind[i] == 1:
+            if int(decal[i]) not in ok_perlin:
+                return False
+            continue
+        # image texture
+        if int(decal[i]) not in ok_image:
+            return False
+        img = int(np.asarray(pack.tex_img)[i])
+        if img < 0:
+            return False
+        w = int(np.asarray(pack.img_w)[img])
+        h = int(np.asarray(pack.img_h)[img])
+        if w * h > _IMG_MAX_TEXELS:
+            return False
+        total_texels += w * h
+        data = np.asarray(pack.img_atlas)[img, :h, :w]
+        if data.min() < 0.0 or data.max() > 255.0 \
+                or not np.array_equal(data, np.round(data)):
+            return False
+    if total_texels > 2 * _IMG_MAX_TEXELS:
         return False
     if static.n_spheres and (np.asarray(pack.sph_tex) >= 0).any():
         return False
@@ -209,23 +258,30 @@ def _perlin_eligible(static, pack) -> bool:
 
 
 def build_mega(pack, opts, host_rng: bool = False):
-    """Extract (MegaConsts, tri_table, chunk_table) from a ScenePack.
+    """Extract (MegaConsts, tri_table, chunk_table, img_table) from a
+    ScenePack.
 
-    tri_table is (Tpad, 16) f32: v0(0:3) v1(3:6) v2(6:9) n_world(9:12)
-    mat(12) mlight(13) emissive(14) pad(15).  chunk_table is (n_chunks, 8)
-    f32: bbox min(0:3) max(3:6) over each CHUNK consecutive faces.
-    ``opts`` is the RenderOptions the render will use (PT flags + depth).
+    tri_table is (Tpad, 16|24|32) f32: v0(0:3) v1(3:6) v2(6:9) n_world(9:12)
+    mat(12) mlight(13) emissive(14) pad(15) [motion(16:19) tex slots(19:22)
+    uv0/uv1/uv2(24:30)].  chunk_table is (n_chunks, 8) f32: bbox min(0:3)
+    max(3:6) over each CHUNK consecutive faces.  img_table is the packed
+    image-texture texel pool ((1,128) zeros when unused).  ``opts`` is the
+    RenderOptions the render will use (PT flags + depth).
     """
     st = pack.static
     max_depth = opts.max_depth
     w = st.n_work_items
     # motion scenes widen the table with per-face world-space motion (16:19);
-    # perlin-textured scenes with per-face texture slots (19:22)
-    has_perlin = st.n_textures > 0
-    n_cols = 24 if (st.has_motion or has_perlin) else 16
+    # textured scenes with per-face texture slots (19:22); image-textured
+    # scenes with per-face vertex UVs (24:30) — VMEM pads the minor dim to
+    # 128 lanes either way, so wider columns are free
+    has_tex = st.n_textures > 0
+    kind_np = np.asarray(pack.tex_kind) if has_tex else np.zeros(0, np.int32)
+    has_img = bool((kind_np == 0).any()) if has_tex else False
+    n_cols = 32 if has_img else (24 if (st.has_motion or has_tex) else 16)
     tab = np.zeros((max(w, 1), n_cols), np.float32)
     tab[:, 13] = -1.0
-    if has_perlin:
+    if has_tex:
         tab[:, 19:22] = -1.0
     if w:
         tab[:, 0:3] = np.asarray(pack.wi_v0)[:w]
@@ -240,7 +296,7 @@ def build_mega(pack, opts, host_rng: bool = False):
                       == _EMISSIVE).astype(np.float32)
         if st.has_motion:
             tab[:, 16:19] = np.asarray(pack.wi_motion)[:w]
-        if has_perlin:
+        if has_tex:
             from advanced_cpu_raytracing_tpu.scene.pack import (
                 SLOT_BUMP,
                 SLOT_DIFFUSE,
@@ -251,6 +307,13 @@ def build_mega(pack, opts, host_rng: bool = False):
             tab[:, 19] = et[wi_ent, SLOT_DIFFUSE].astype(np.float32)
             tab[:, 20] = et[wi_ent, SLOT_SPECULAR].astype(np.float32)
             tab[:, 21] = et[wi_ent, SLOT_BUMP].astype(np.float32)
+        if has_img:
+            # per-face vertex UVs for barycentric interpolation
+            # (_gather_tri_uv semantics: uvidx -1 -> uv 0, clamped gathers)
+            uvi = np.asarray(pack.tri_uvidx)[np.asarray(pack.wi_face)[:w]]
+            uvv = np.asarray(pack.uvs)[np.maximum(uvi, 0)]  # (w,3,2)
+            uvv[uvi[:, 0] < 0] = 0.0
+            tab[:, 24:30] = uvv.reshape(w, 6)
 
     n_chunks = max((w + CHUNK - 1) // CHUNK, 1)
     ctab = np.zeros((n_chunks, 8), np.float32)
@@ -396,18 +459,64 @@ def build_mega(pack, opts, host_rng: bool = False):
 
     perlin_tex = ()
     p_diff = p_spec = p_bump = ()
-    if has_perlin:
+    image_tex = ()
+    i_diff = i_spec = ()
+    img_tab = np.zeros((1, LANES), np.float32)
+    if has_tex:
         nscale = np.asarray(pack.tex_noise_scale)
         nconv = np.asarray(pack.tex_noise_conv)
         decal = np.asarray(pack.tex_decal)
         bumpf = np.asarray(pack.tex_bump_factor)
-        perlin_tex = tuple(
-            (float(nscale[i]), int(nconv[i]),
-             int(int(decal[i]) == int(DecalMode.BLEND_KD)), float(bumpf[i]))
-            for i in range(st.n_textures))
-        p_diff = tuple(sorted(int(x) for x in set(tab[:w, 19]) if x >= 0))
-        p_spec = tuple(sorted(int(x) for x in set(tab[:w, 20]) if x >= 0))
-        p_bump = tuple(sorted(int(x) for x in set(tab[:w, 21]) if x >= 0))
+
+        def slotted(col, kind):
+            return tuple(sorted(
+                int(x) for x in set(tab[:w, col])
+                if x >= 0 and kind_np[int(x)] == kind))
+
+        if (kind_np == 1).any():
+            perlin_tex = tuple(
+                (float(nscale[i]), int(nconv[i]),
+                 int(int(decal[i]) == int(DecalMode.BLEND_KD)),
+                 float(bumpf[i]))
+                for i in range(st.n_textures))
+            p_diff = slotted(19, 1)
+            p_spec = slotted(20, 1)
+            p_bump = slotted(21, 1)
+        if has_img:
+            # pack each LDR image's texels as one f32 per texel
+            # (r + 256 g + 65536 b, exact: < 2^24), row-major j*w+i flat
+            # order, padded to full 128-lane rows and stacked into one table
+            interp_np = np.asarray(pack.tex_interp)
+            timg = np.asarray(pack.tex_img)
+            entries: list = []
+            rows_list = []
+            img_row0: dict = {}  # image index -> row0 (textures share images)
+            row0 = 0
+            for i in range(st.n_textures):
+                if kind_np[i] != 0:
+                    entries.append(())
+                    continue
+                img = int(timg[i])
+                iw = int(np.asarray(pack.img_w)[img])
+                ih = int(np.asarray(pack.img_h)[img])
+                if img not in img_row0:
+                    data = np.asarray(pack.img_atlas)[img, :ih, :iw]
+                    packed = (data[..., 0] + 256.0 * data[..., 1]
+                              + 65536.0 * data[..., 2]).reshape(-1)
+                    n_rows = -(-packed.size // LANES)
+                    buf = np.zeros(n_rows * LANES, np.float32)
+                    buf[:packed.size] = packed
+                    rows_list.append(buf.reshape(n_rows, LANES))
+                    img_row0[img] = row0
+                    row0 += n_rows
+                entries.append((
+                    int(interp_np[i]),
+                    int(int(decal[i]) == int(DecalMode.BLEND_KD)),
+                    iw, ih, img_row0[img], -(-(iw * ih) // LANES)))
+            image_tex = tuple(entries)
+            img_tab = np.concatenate(rows_list, axis=0)
+            i_diff = slotted(19, 0)
+            i_spec = slotted(20, 0)
 
     mc = MegaConsts(
         n_tri=w,
@@ -441,8 +550,11 @@ def build_mega(pack, opts, host_rng: bool = False):
         perlin_diff=p_diff,
         perlin_spec=p_spec,
         perlin_bump=p_bump,
+        image_textures=image_tex,
+        img_diff=i_diff,
+        img_spec=i_spec,
     )
-    return mc, jnp.asarray(tab), jnp.asarray(ctab)
+    return mc, jnp.asarray(tab), jnp.asarray(ctab), jnp.asarray(img_tab)
 
 
 # ---------------------------------------------------------------------------
@@ -452,10 +564,10 @@ def build_mega(pack, opts, host_rng: bool = False):
 
 def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             chunk_ref, seed_ref, rng_ref, *rest, mc: MegaConsts):
-    if mc.perlin_textures:
-        perm_ref, lx_ref, ly_ref, lz_ref = rest
-    else:
-        lx_ref, ly_ref, lz_ref = rest
+    rest = list(rest)
+    perm_ref = rest.pop(0) if mc.perlin_textures else None
+    img_ref = rest.pop(0) if mc.image_textures else None
+    lx_ref, ly_ref, lz_ref = rest
     shape = (ROWS, LANES)
     ZERO = jnp.zeros(shape, jnp.float32)
     ONE = jnp.ones(shape, jnp.float32)
@@ -578,6 +690,68 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
                 return jnp.abs(total)
             return (total + 1.0) * 0.5
 
+    # ---- LDR image textures (ImageTexture, src/imageTexture.h:60-133) ----
+    if mc.image_textures:
+
+        def tile_uv_k(x):
+            """UV tiling (Mesh::GetFloorForTiledUV, src/mesh.cpp:382-389;
+            matches ops/texture.py::tile_uv)."""
+            frac = x - jnp.floor(x)
+            frac = jnp.where(frac < 0.0001, 1.0, frac)
+            return jnp.where(x > 1.0001, frac, x)
+
+        def img_sample(ti_, uu, vv):
+            """RGB/255 at tiled UV for texture ti_: nearest (imageTexture.h:
+            60-70) or bilinear with edge-clamped +1 taps (imageTexture.h:
+            77-133 via ops/texture.py::sample_bilinear).  Texels live in the
+            packed f32 pool (r + 256 g + 65536 b) and are fetched with the
+            same row-masked lane-wise take_along_axis gather as the Perlin
+            perm table — n_rows masked vector ops per tap."""
+            interp, _blend, iw, ih, row0, n_rows = mc.image_textures[ti_]
+            fw, fh = float(iw), float(ih)
+            if interp == 0:  # nearest
+                i_ = jnp.clip(jnp.floor(uu * fw), 0.0, fw - 1.0)
+                j_ = jnp.clip(jnp.floor(vv * fh), 0.0, fh - 1.0)
+                flats = [j_ * fw + i_]
+                wts = None
+            else:  # bilinear
+                fi = jnp.clip(uu * fw, 0.0, fw - 1.0)
+                fj = jnp.clip(vv * fh, 0.0, fh - 1.0)
+                p_ = jnp.floor(fi)
+                q_ = jnp.floor(fj)
+                dx_ = fi - p_
+                dy_ = fj - q_
+                p1 = jnp.minimum(p_ + 1.0, fw - 1.0)
+                q1 = jnp.minimum(q_ + 1.0, fh - 1.0)
+                flats = [q_ * fw + p_, q_ * fw + p1,
+                         q1 * fw + p_, q1 * fw + p1]
+                wts = [(1.0 - dx_) * (1.0 - dy_), dx_ * (1.0 - dy_),
+                       (1.0 - dx_) * dy_, dx_ * dy_]
+            idxs = [f.astype(jnp.int32) for f in flats]
+            lanes = [jnp.bitwise_and(ii, 127) for ii in idxs]
+            rows = [jnp.right_shift(ii, 7) for ii in idxs]
+            outs = [ZERO for _ in flats]
+            for r in range(n_rows):
+                brow = jnp.broadcast_to(
+                    img_ref[row0 + r:row0 + r + 1, :], shape)
+                for k in range(len(flats)):
+                    g = jnp.take_along_axis(brow, lanes[k], axis=1)
+                    outs[k] = outs[k] + jnp.where(rows[k] == r, g, 0.0)
+            rgbs = []
+            for v_ in outs:  # unpack (all arithmetic exact in f32: < 2^24)
+                b_ = jnp.floor(v_ * (1.0 / 65536.0))
+                rem = v_ - b_ * 65536.0
+                g_ = jnp.floor(rem * (1.0 / 256.0))
+                rgbs.append((rem - g_ * 256.0, g_, b_))
+            if wts is None:
+                r_, g_, b_ = rgbs[0]
+            else:
+                r_ = sum(w_ * c[0] for w_, c in zip(wts, rgbs))
+                g_ = sum(w_ * c[1] for w_, c in zip(wts, rgbs))
+                b_ = sum(w_ * c[2] for w_, c in zip(wts, rgbs))
+            s = 1.0 / 255.0  # raytracer.cpp:494 normalization
+            return r_ * s, g_ * s, b_ * s
+
     def sphere_local(s, px, py, pz, vx, vy, vz, is_point):
         """Apply sphere s's packed world->object transform."""
         m = s[0]
@@ -590,7 +764,9 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
     def tri_hit(ti, px, py, pz, vx, vy, vz):
         """Cramer's-rule triangle test for triangle `ti` against the block
         (Mesh::IntersectFace semantics, src/mesh.cpp:201-236).
-        Returns (t, valid).  Motion blur: the per-face world-space motion
+        Returns (t, valid, beta, gamma) — the barycentrics feed UV
+        interpolation for image textures (mesh.cpp:244-262).
+        Motion blur: the per-face world-space motion
         offsets the ray origin by +motion*time (equivalence argument in
         ops/traverse.py; mesh.cpp:167-170)."""
         if mc.has_motion:
@@ -627,7 +803,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             (det_a != 0.0) & (beta >= 0.0) & (gamma >= 0.0)
             & (beta + gamma <= 1.0) & (t > 0.0)
         )
-        return t, valid
+        return t, valid, beta, gamma
 
     def sphere_hit(s, px, py, pz, vx, vy, vz):
         """Quadratic sphere test (Sphere::Intersect, src/sphere.cpp:31-72).
@@ -711,14 +887,16 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         Inactive lanes start with reject distance 0, so they never keep a
         culling chunk alive — as a block's shading tree dies down, whole
         triangle chunks stop being swept."""
-        per = bool(mc.perlin_textures)
+        per = bool(mc.perlin_textures) or bool(mc.image_textures)
+        needs_uv = bool(mc.img_diff or mc.img_spec)
         neg1 = jnp.full(shape, -1.0)
         init = (jnp.where(active, BIG, 0.0), ZERO, ZERO, ONE, ZERO, neg1) \
-            + ((neg1, neg1, neg1) if per else ())
+            + ((neg1, neg1, neg1) if per else ()) \
+            + ((ZERO, ZERO) if needs_uv else ())
 
         def body(ti, carry):
             t_b, nx, ny, nz, mf, ml = carry[:6]
-            t, valid = tri_hit(ti, px, py, pz, vx, vy, vz)
+            t, valid, beta, gamma = tri_hit(ti, px, py, pz, vx, vy, vz)
             better = valid & (t < t_b)
             out = (
                 jnp.where(better, t, t_b),
@@ -732,6 +910,17 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
                 out = out + tuple(
                     jnp.where(better, tri_ref[ti, 19 + k], carry[6 + k])
                     for k in range(3))
+            if needs_uv:
+                # uv = uv0 + beta (uv1-uv0) + gamma (uv2-uv0), untiled
+                # (_gather_tri_uv; tiling happens once on the winner)
+                u0 = tri_ref[ti, 24]
+                v0 = tri_ref[ti, 25]
+                ui = u0 + beta * (tri_ref[ti, 26] - u0) \
+                    + gamma * (tri_ref[ti, 28] - u0)
+                vi = v0 + beta * (tri_ref[ti, 27] - v0) \
+                    + gamma * (tri_ref[ti, 29] - v0)
+                out = out + (jnp.where(better, ui, carry[-2]),
+                             jnp.where(better, vi, carry[-1]))
             return out
 
         if mc.n_tri > 0:
@@ -739,6 +928,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
                                live_of=lambda c: c[0])
         t_b, nx, ny, nz, mf, ml = init[:6]
         tslots = init[6:9] if per else None
+        uv = init[-2:] if needs_uv else None
         for s in mc.spheres:
             t, valid, nwx, nwy, nwz = sphere_hit(s, px, py, pz, vx, vy, vz)
             better = valid & (t < t_b) & active
@@ -749,11 +939,13 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             mf = jnp.where(better, float(s[4]), mf)
             ml = jnp.where(better, -1.0, ml)
             if per:
-                # eligible spheres are never textured (_perlin_eligible)
+                # eligible spheres are never textured (_textures_eligible)
                 tslots = tuple(jnp.where(better, -1.0, s_) for s_ in tslots)
+            if needs_uv:
+                uv = tuple(jnp.where(better, 0.0, u_) for u_ in uv)
         hit = t_b < (BIG * 0.5)
         nx, ny, nz = norm3(nx, ny, nz)
-        return t_b, nx, ny, nz, mf, ml, hit, tslots
+        return t_b, nx, ny, nz, mf, ml, hit, tslots, uv
 
     def shadow(px, py, pz, vx, vy, vz, limit, gate):
         """Occlusion along unit direction v up to `limit` for lanes in
@@ -763,7 +955,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         loop carries (packed-mask layout mismatch).  Gated-off lanes start
         "already blocked" so they never keep a culling chunk alive."""
         def body(ti, blocked):
-            t, valid = tri_hit(ti, px, py, pz, vx, vy, vz)
+            t, valid, _, _ = tri_hit(ti, px, py, pz, vx, vy, vz)
             if mc.has_emissive:
                 # CastShadowRay skips emissive meshes (raytracer.cpp:590-593)
                 valid = valid & (tri_ref[ti, 14] < 0.5)
@@ -848,7 +1040,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             (sp, s_ox, s_oy, s_oz, s_dx, s_dy, s_dz, s_wx, s_wy, s_wz,
              s_ax, s_ay, s_az, s_med, s_dep) = c[19:]
 
-        t, nx, ny, nz, matf, mlf, hitv, tslots = trace(
+        t, nx, ny, nz, matf, mlf, hitv, tslots, hituv = trace(
             cox, coy, coz, cdx, cdy, cdz, cact)
         hit = hitv & cact
         t_safe = jnp.where(hit, t, 0.0)
@@ -875,7 +1067,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         # Perlin bump: world-space gradient of the scaled height field,
         # projected off the normal (shading.py::_apply_bump_normal_maps <-
         # mesh.cpp:290-309; identity-transform meshes only, see
-        # _perlin_eligible).  Applied before everything downstream — GI
+        # _textures_eligible).  Applied before everything downstream — GI
         # basis, shadow origins, specular children — like surface_at does.
         if mc.perlin_bump:
             td_f, ts_f, tb_f = tslots
@@ -894,8 +1086,14 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
                 nx = jnp.where(m_, bx, nx)
                 ny = jnp.where(m_, by, ny)
                 nz = jnp.where(m_, bz, nz)
-        elif mc.perlin_textures:
+        elif mc.perlin_textures or mc.image_textures:
             td_f, ts_f, tb_f = tslots
+
+        if mc.img_diff or mc.img_spec:
+            # tile the winner's interpolated UV once (mesh.cpp:256-258);
+            # no-UV faces carry uv=(0,0), which tiles to itself
+            uu = tile_uv_k(hituv[0])
+            vv = tile_uv_k(hituv[1])
 
         inside = (cmed > 1.00001) if diel else FALSE
 
@@ -948,8 +1146,8 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             goz = pz + nz * 1e-4
             # trace the GI ray now: the reference suppresses NEE for the
             # mesh light its GI ray hit (raytracer.cpp:180-188, 778-781)
-            g_t, _, _, _, _, g_ml, g_hit, _ = trace(gox, goy, goz,
-                                                    gdx, gdy, gdz, gi_alive)
+            g_t, _, _, _, _, g_ml, g_hit, _, _ = trace(gox, goy, goz,
+                                                       gdx, gdy, gdz, gi_alive)
             g_hit = g_hit & gi_alive
             if len(mc.mesh_lights) > 0:
                 skip_ml = jnp.where(g_hit & (g_ml >= 0.0), g_ml, -1.0)
@@ -986,6 +1184,24 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             ksx = jnp.where(m_, (val + ksx) * 0.5 if blend else val, ksx)
             ksy = jnp.where(m_, (val + ksy) * 0.5 if blend else val, ksy)
             ksz = jnp.where(m_, (val + ksz) * 0.5 if blend else val, ksz)
+
+        # image kd/ks modulation: RGB/255 replaces (or blend-averages) the
+        # reflectance (GetDiffuseReflectanceCoeff, raytracer.cpp:478-508;
+        # shading.py::diffuse_reflectance / specular_reflectance)
+        for ti_ in mc.img_diff:
+            blend = mc.image_textures[ti_][1]
+            tr, tg, tb = img_sample(ti_, uu, vv)
+            m_ = td_f == float(ti_)
+            kdx = jnp.where(m_, (tr + kdx) * 0.5 if blend else tr, kdx)
+            kdy = jnp.where(m_, (tg + kdy) * 0.5 if blend else tg, kdy)
+            kdz = jnp.where(m_, (tb + kdz) * 0.5 if blend else tb, kdz)
+        for ti_ in mc.img_spec:
+            blend = mc.image_textures[ti_][1]
+            tr, tg, tb = img_sample(ti_, uu, vv)
+            m_ = ts_f == float(ti_)
+            ksx = jnp.where(m_, (tr + ksx) * 0.5 if blend else tr, ksx)
+            ksy = jnp.where(m_, (tg + ksy) * 0.5 if blend else tg, ksy)
+            ksz = jnp.where(m_, (tb + ksz) * 0.5 if blend else tb, ksz)
 
         sox = px + nx * eps
         soy = py + ny * eps
@@ -1502,7 +1718,8 @@ def _pad_rows(x, n):
 
 
 def mega_trace_flat(mc: MegaConsts, tri_tab, chunk_tab, o, d,
-                    interpret: bool = False, seed=0, rng_key=None):
+                    interpret: bool = False, seed=0, rng_key=None,
+                    img_tab=None):
     """Radiance for rays o/d (R,3) via the fused kernel, returned as three
     flat (R,) component arrays — flat layouts tile perfectly on TPU, while
     (R,3) arrays pad the minor dim 3 -> 128.
@@ -1545,6 +1762,10 @@ def mega_trace_flat(mc: MegaConsts, tri_tab, chunk_tab, o, d,
     if mc.perlin_textures:
         extra_in.append(jnp.asarray(_perm512_table()))
         extra_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    if mc.image_textures:
+        assert img_tab is not None, "image-textured mc needs its img_tab"
+        extra_in.append(img_tab)
+        extra_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
 
     lx, ly, lz = pl.pallas_call(
         functools.partial(_kernel, mc=mc),
@@ -1560,8 +1781,8 @@ def mega_trace_flat(mc: MegaConsts, tri_tab, chunk_tab, o, d,
 
 @functools.partial(jax.jit, static_argnames=("mc", "interpret"))
 def mega_trace(mc: MegaConsts, tri_tab, chunk_tab, o, d,
-               interpret: bool = False, seed=0, rng_key=None):
+               interpret: bool = False, seed=0, rng_key=None, img_tab=None):
     """(R,3) radiance via the fused kernel (see mega_trace_flat)."""
     lx, ly, lz = mega_trace_flat(mc, tri_tab, chunk_tab, o, d, interpret,
-                                 seed, rng_key)
+                                 seed, rng_key, img_tab)
     return jnp.stack([lx, ly, lz], axis=-1)

@@ -104,8 +104,9 @@ def _render_tile(pack: ScenePack, cam, px, py, key, opts: RenderOptions,
 
 @partial(jax.jit, static_argnames=("mc", "n_cells", "interpret", "w", "h",
                                    "as_ldr"))
-def _render_image_mega(mc, tri_tab, chunk_tab, cam, key, seed, n_cells: int,
-                       interpret: bool, w: int, h: int, as_ldr: bool):
+def _render_image_mega(mc, tri_tab, chunk_tab, img_tab, cam, key, seed,
+                       n_cells: int, interpret: bool, w: int, h: int,
+                       as_ldr: bool):
     """Whole image via the fused Pallas megakernel (eligible Whitted scenes;
     see ops/pallas/megakernel.py) — ONE dispatch, zero host->device traffic:
     pixel coordinates come from an on-device iota and the kernel tiles
@@ -161,7 +162,8 @@ def _render_image_mega(mc, tri_tab, chunk_tab, cam, key, seed, n_cells: int,
         o, d = rays(px, py, key)
         comps = mega_trace_flat(mc, tri_tab, chunk_tab, o, d,
                                 interpret=interpret, seed=seed,
-                                rng_key=(key if mc.host_rng else None))
+                                rng_key=(key if mc.host_rng else None),
+                                img_tab=img_tab)
         if tiled:
             comps = [c[unperm] for c in comps]  # tile order -> scanline
         if as_ldr:
@@ -180,7 +182,8 @@ def _render_image_mega(mc, tri_tab, chunk_tab, cam, key, seed, n_cells: int,
             kd = k  # raw uint32 key arrays
         s_seed = seed + kd.reshape(-1)[-1].astype(jnp.int32)
         return mega_trace(mc, tri_tab, chunk_tab, o, d, interpret=interpret,
-                          seed=s_seed, rng_key=(k if mc.host_rng else None))
+                          seed=s_seed, rng_key=(k if mc.host_rng else None),
+                          img_tab=img_tab)
 
     col = jnp.transpose(  # (3, R): uniform host-side contract
         _gaussian_multisample(trace, px, py, key, n_cells))
@@ -220,10 +223,10 @@ def _mega_build_cached(pack: ScenePack, opts: RenderOptions):
     key = id(pack)
     ent = _MEGA_CACHE.get(key)
     if ent is not None and ent[0]() is pack and ent[1] == opts:
-        return ent[2], ent[3], ent[4]
-    mc, tab, ctab = build_mega(pack, opts)
-    _MEGA_CACHE[key] = (weakref.ref(pack), opts, mc, tab, ctab)
-    return mc, tab, ctab
+        return ent[2], ent[3], ent[4], ent[5]
+    mc, tab, ctab, img_tab = build_mega(pack, opts)
+    _MEGA_CACHE[key] = (weakref.ref(pack), opts, mc, tab, ctab, img_tab)
+    return mc, tab, ctab, img_tab
 
 
 def _mega_route(pack: ScenePack, opts: RenderOptions) -> bool:
@@ -272,14 +275,14 @@ def render_camera(pack: ScenePack, cfg: SceneConfig, cam_cfg: CameraCfg,
     n_cells = max(int(math.isqrt(max(spp, 1))), 1)
 
     if _mega_route(pack, opts):
-        mc, tri_tab, chunk_tab = _mega_build_cached(pack, opts)
+        mc, tri_tab, chunk_tab, img_tab = _mega_build_cached(pack, opts)
         interpret = jax.default_backend() != "tpu"
         # deterministic single-sample non-DoF Whitted renders need no RNG at
         # all — and merely *creating* a PRNG key costs a ~25 ms device
         # round-trip on a tunneled TPU
         needs_key = (cam.use_dof or n_cells > 1 or mc.host_rng)
         key = jax.random.PRNGKey(seed) if needs_key else None
-        img = _render_image_mega(mc, tri_tab, chunk_tab, cam, key,
+        img = _render_image_mega(mc, tri_tab, chunk_tab, img_tab, cam, key,
                                  jnp.int32(seed), n_cells,
                                  interpret, w, h, ldr)  # (3, R)
         return np.ascontiguousarray(

@@ -140,14 +140,14 @@ def main() -> None:
         import jax.numpy as jnp
 
         cam = _camera_cached(cam_cfg)
-        mc, tab, ctab = _mega_build_cached(pack, opts)
+        mc, tab, ctab, img_tab = _mega_build_cached(pack, opts)
         interpret = jax.default_backend() != "tpu"
 
         def run_pipeline() -> float:
             t0 = time.perf_counter()
             imgs = [
-                _render_image_mega(mc, tab, ctab, cam, None, jnp.int32(0),
-                                   1, interpret, w, h, True)
+                _render_image_mega(mc, tab, ctab, img_tab, cam, None,
+                                   jnp.int32(0), 1, interpret, w, h, True)
                 for _ in range(PIPELINE)
             ]
             for im in imgs:

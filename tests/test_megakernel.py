@@ -46,7 +46,7 @@ def test_megakernel_matches_wavefront(scene):
     opts = RenderOptions(max_depth=cfg.max_recursion_depth)
     assert mega_eligible(pack.static, opts), "golden scene must be eligible"
 
-    mc, tab, ctab = build_mega(pack, opts)
+    mc, tab, ctab, img_tab = build_mega(pack, opts)
     r = 1024
     rng = np.random.default_rng(7)
     px = jnp.asarray(rng.uniform(0, cam_cfg.width, r).astype(np.float32))
@@ -151,7 +151,7 @@ def _mc_compare(pack, cfg, opts, n_seeds=24):
     )
 
     assert _me(pack.static, opts, pack)
-    mc, tab, ctab = _bm(pack, opts, host_rng=True)
+    mc, tab, ctab, img_tab = _bm(pack, opts, host_rng=True)
     cam = build_camera(cfg.cameras[0])
     rng = np.random.default_rng(9)
     n = 1024
@@ -225,7 +225,7 @@ def test_megakernel_spot_and_directional(tmp_path):
 
     opts = options_for_camera(cfg, cfg.cameras[0])
     assert _me(pack.static, opts, pack)
-    mc, tab, ctab = _bm(pack, opts)
+    mc, tab, ctab, img_tab = _bm(pack, opts)
     cam = build_camera(cfg.cameras[0])
     rng = np.random.default_rng(3)
     n = 1024
@@ -385,7 +385,7 @@ def test_megakernel_brdf_zoo(tmp_path):
     assert pack.static.n_brdfs == 5
     opts = options_for_camera(cfg, cfg.cameras[0])
     assert _me(pack.static, opts, pack)
-    mc, tab, ctab = _bm(pack, opts)
+    mc, tab, ctab, img_tab = _bm(pack, opts)
     cam = build_camera(cfg.cameras[0])
     rng = np.random.default_rng(4)
     n = 2048
@@ -498,7 +498,7 @@ def test_megakernel_perlin_textures(tmp_path):
     assert pack.static.n_textures == 4
     opts = options_for_camera(cfg, cfg.cameras[0])
     assert _me(pack.static, opts, pack)
-    mc, tab, ctab = _bm(pack, opts)
+    mc, tab, ctab, img_tab = _bm(pack, opts)
     assert mc.perlin_diff and mc.perlin_spec and mc.perlin_bump
     cam = build_camera(cfg.cameras[0])
     rng = np.random.default_rng(11)
@@ -582,5 +582,180 @@ def test_mesh_bump_requires_texcoords(tmp_path):
     assert (et[:, SLOT_DIFFUSE] >= 0).any()  # kd texture unaffected
     opts = options_for_camera(cfg, cfg.cameras[0])
     assert _me(pack.static, opts, pack)
-    mc, _, _ = _bm(pack, opts)
+    mc, _, _, _ = _bm(pack, opts)
     assert mc.perlin_bump == () and mc.perlin_diff
+
+
+IMAGE_SCENE = """<Scene>
+  <BackgroundColor>6 6 10</BackgroundColor>
+  <MaxRecursionDepth>3</MaxRecursionDepth>
+  <ShadowRayEpsilon>1e-3</ShadowRayEpsilon>
+  <Cameras><Camera id="1">
+    <Position>0 1.2 4</Position><Gaze>0 -0.25 -1</Gaze><Up>0 1 0</Up>
+    <NearPlane>-1 1 -0.75 0.75</NearPlane><NearDistance>1</NearDistance>
+    <ImageResolution>320 240</ImageResolution>
+    <ImageName>megaimage.png</ImageName>
+  </Camera></Cameras>
+  <Lights>
+    <AmbientLight>25 25 25</AmbientLight>
+    <PointLight id="1"><Position>2 4 2</Position>
+      <Intensity>900 900 900</Intensity></PointLight>
+  </Lights>
+  <Materials>
+    <Material id="1"><AmbientReflectance>1 1 1</AmbientReflectance>
+      <DiffuseReflectance>0.7 0.5 0.4</DiffuseReflectance>
+      <SpecularReflectance>0.3 0.3 0.3</SpecularReflectance>
+      <PhongExponent>25</PhongExponent></Material>
+    <Material id="2"><AmbientReflectance>1 1 1</AmbientReflectance>
+      <DiffuseReflectance>0.2 0.4 0.8</DiffuseReflectance>
+      <SpecularReflectance>0.5 0.5 0.5</SpecularReflectance>
+      <PhongExponent>60</PhongExponent></Material>
+    <Material id="3" type="mirror"><AmbientReflectance>1 1 1</AmbientReflectance>
+      <DiffuseReflectance>0.1 0.1 0.1</DiffuseReflectance>
+      <SpecularReflectance>0.1 0.1 0.1</SpecularReflectance>
+      <MirrorReflectance>0.9 0.9 0.9</MirrorReflectance>
+      <PhongExponent>5</PhongExponent></Material>
+  </Materials>
+  <Textures>
+    <Images>
+      <Image id="1">{img1}</Image>
+      <Image id="2">{img2}</Image>
+    </Images>
+    <TextureMap id="1" type="image">
+      <DecalMode>replace_kd</DecalMode><ImageId>1</ImageId>
+      <Interpolation>nearest</Interpolation>
+    </TextureMap>
+    <TextureMap id="2" type="image">
+      <DecalMode>blend_kd</DecalMode><ImageId>2</ImageId>
+      <Interpolation>bilinear</Interpolation>
+    </TextureMap>
+    <TextureMap id="3" type="image">
+      <DecalMode>replace_ks</DecalMode><ImageId>2</ImageId>
+      <Interpolation>bilinear</Interpolation>
+    </TextureMap>
+    <TextureMap id="4" type="perlin">
+      <DecalMode>replace_kd</DecalMode>
+      <NoiseConversion>absval</NoiseConversion>
+      <NoiseScale>3</NoiseScale>
+    </TextureMap>
+  </Textures>
+  <VertexData>
+    -8 -1 4   8 -1 4   8 -1 -12   -8 -1 -12
+    -8 -1 -6   8 -1 -6   8 7 -6   -8 7 -6
+    -3 -1 1   -1 -1 1   -1 1 1    -3 1 1
+    1 -1 0.5   3 -1 0.5   3 1 0.5   1 1 0.5
+  </VertexData>
+  <TexCoordData>
+    0 3   3 3   3 0   0 0
+    0 1   1 1   1 0   0 0
+    0 1   1 1   1 0   0 0
+    -0.25 1.3   1.3 1.3   1.3 -0.25   -0.25 -0.25
+  </TexCoordData>
+  <Objects>
+    <Mesh id="1"><Material>1</Material><Textures>1</Textures>
+      <Faces>1 2 3  1 3 4</Faces></Mesh>
+    <Mesh id="2"><Material>2</Material><Textures>2 3</Textures>
+      <Faces>5 6 7  5 7 8</Faces></Mesh>
+    <Mesh id="3"><Material>3</Material>
+      <Faces>9 10 11  9 11 12</Faces></Mesh>
+    <Mesh id="4"><Material>2</Material><Textures>3 4</Textures>
+      <Faces>13 14 15  13 15 16</Faces></Mesh>
+  </Objects>
+</Scene>"""
+
+
+def _write_test_png(path, w, h, seed):
+    from PIL import Image as PILImage
+
+    rng = np.random.default_rng(seed)
+    data = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    PILImage.fromarray(data, "RGB").save(path)
+
+
+def test_megakernel_image_textures(tmp_path):
+    """LDR image textures in-kernel — nearest replace_kd with UV tiling
+    (0..3 range), bilinear blend_kd, bilinear replace_ks mixed with a perlin
+    replace_kd on the same entity, negative-UV clamping, plus a mirror
+    bouncing onto the textured floor — vs the jnp wavefront.  The texel
+    fetch is the packed-RGB row-masked lane gather (megakernel.py
+    img_sample) against ops/texture.py::sample_image."""
+    from advanced_cpu_raytracing_tpu.ops.pallas.megakernel import (
+        build_mega as _bm,
+        mega_trace as _mt,
+        mega_eligible as _me,
+    )
+    from advanced_cpu_raytracing_tpu.render.renderer import options_for_camera
+
+    img1 = tmp_path / "t1.png"
+    img2 = tmp_path / "t2.png"
+    _write_test_png(img1, 16, 16, 3)
+    _write_test_png(img2, 33, 7, 4)  # odd sizes: row masking + edge clamps
+    p = tmp_path / "megaimage.xml"
+    p.write_text(IMAGE_SCENE.format(img1=img1, img2=img2))
+    cfg = load_scene(str(p))
+    pack = pack_scene(cfg)
+    assert pack.static.n_textures == 4
+    opts = options_for_camera(cfg, cfg.cameras[0])
+    assert _me(pack.static, opts, pack)
+    mc, tab, ctab, img_tab = _bm(pack, opts)
+    assert mc.img_diff and mc.img_spec and mc.perlin_diff
+    assert img_tab.shape[0] == 2 + 2  # 16*16 -> 2 rows, 33*7=231 -> 2 rows
+    cam = build_camera(cfg.cameras[0])
+    rng = np.random.default_rng(12)
+    n = 2048
+    px = jnp.asarray(rng.uniform(0, 320, n).astype(np.float32))
+    py = jnp.asarray(rng.uniform(0, 240, n).astype(np.float32))
+    o, d = cam_mod.generate_rays(cam, px, py, jnp.zeros((n, 2)), dof=False)
+    l_mega = np.asarray(_mt(mc, tab, ctab, o, d, interpret=True,
+                            img_tab=img_tab))
+    l_jnp = np.asarray(trace_radiance(pack, cam, px, py,
+                                      jax.random.PRNGKey(0), opts))
+    diff = np.abs(l_mega - l_jnp)
+    assert np.mean(diff) < 0.01, np.mean(diff)
+    assert np.quantile(diff, 0.999) < 0.5
+
+
+def test_megakernel_image_texture_eligibility(tmp_path):
+    """HDR (float-texel) and oversized images stay on the jnp fallback;
+    image normal-map decals do too."""
+    from advanced_cpu_raytracing_tpu.ops.pallas.megakernel import (
+        mega_eligible as _me,
+        _IMG_MAX_TEXELS,
+    )
+    from advanced_cpu_raytracing_tpu.render.renderer import options_for_camera
+
+    def check(img1_path, xml_mut=None):
+        img2 = tmp_path / "el2.png"
+        _write_test_png(img2, 8, 8, 5)
+        xml = IMAGE_SCENE.format(img1=img1_path, img2=img2)
+        if xml_mut:
+            xml = xml_mut(xml)
+        p = tmp_path / "elig.xml"
+        p.write_text(xml)
+        cfg = load_scene(str(p))
+        pack = pack_scene(cfg)
+        return _me(pack.static, options_for_camera(cfg, cfg.cameras[0]),
+                   pack)
+
+    ok_png = tmp_path / "el1.png"
+    _write_test_png(ok_png, 16, 16, 6)
+    assert check(ok_png)
+
+    # oversized image -> fallback (gate is on texel count)
+    side = int(np.sqrt(_IMG_MAX_TEXELS)) + 9
+    big_png = tmp_path / "big.png"
+    _write_test_png(big_png, side, side, 7)
+    assert not check(big_png)
+
+    # float texels (EXR) -> fallback
+    from advanced_cpu_raytracing_tpu.scene.images import write_exr
+
+    exr = tmp_path / "grad.exr"
+    rng = np.random.default_rng(8)
+    write_exr(str(exr), rng.uniform(0.0, 2.0, (8, 16, 3)).astype(np.float32))
+    assert not check(exr)
+
+    # normal-map decal -> fallback
+    assert not check(ok_png, lambda x: x.replace(
+        "<DecalMode>replace_ks</DecalMode>",
+        "<DecalMode>replace_normal</DecalMode>"))
