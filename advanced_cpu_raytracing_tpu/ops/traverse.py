@@ -21,6 +21,19 @@ Occlusion ("in shadow") mirrors Raytracer::CastShadowRay
 (src/raytracer.cpp:585-623): triangle geometry belonging to emissive
 (light-mesh) entities is skipped, spheres are not; a hit counts only when
 ``t < light_t`` given the initial ``minT = light_t + 0.01``.
+
+Differentiable mode (``differentiable=True``) uses the standard
+stop-gradient-on-topology decomposition: WHICH primitive wins is decided by
+the fastest non-differentiable path (the Pallas kernel or the BVH
+while_loop, on stop_gradient'd rays), then (t, beta, gamma) are recomputed
+differentiably on ONLY the winning triangle — O(R) work and O(R) reverse
+residuals instead of O(W*R).  The recompute runs in the winning entity's
+object space, so gradients flow to the ray (o, d) AND to the shared vertex
+table ``pack.verts`` (first-order geometry gradients; the visibility
+function itself stays locally constant, diff/params.py).  Occlusion is a
+boolean — under AD it is a pure topology query and runs entirely on
+stop-gradients, which also makes the BVH strategy reverse-differentiable
+(lax.while_loop only ever sees constants).
 """
 
 from __future__ import annotations
@@ -40,8 +53,10 @@ from advanced_cpu_raytracing_tpu.ops.intersect import (
 INF = jnp.float32(jnp.inf)
 
 # Use the Pallas dense-intersect kernel for brute-force queries on TPU.
-# None = auto (TPU backend only); the jnp path remains the AD route (the
-# kernel has no VJP) and the motion-blur route (per-item ray offsets).
+# None = auto (TPU backend only).  The kernel has no VJP, but it still
+# serves differentiable renders: AD routes call it on stop-gradient'd rays
+# for topology and recompute the winner differentiably (closest_hit).  The
+# jnp path remains the motion-blur route (per-item ray offsets).
 USE_PALLAS_BRUTE: bool | None = None
 
 
@@ -256,8 +271,30 @@ def _sphere_best(pack, o, d, time):
 # Public queries
 # --------------------------------------------------------------------------
 
+def _tri_recompute(pack, o, d, time, ent, face):
+    """Differentiable (t, beta, gamma) on each ray's WINNING triangle only.
+
+    The Cramer solve runs in the winning entity's object space (ray
+    transformed by the gathered M⁻¹, motion as a local origin offset —
+    Mesh::Intersect, src/mesh.cpp:161-170), so gradients reach both the ray
+    and ``pack.verts``.  t and the barycentrics are invariant under the
+    affine map (module docstring), so the values agree with whichever fast
+    path selected the winner up to fp rounding.
+    """
+    minv = pack.ent_minv[ent]  # (R,3,4)
+    o_l, d_l = transform_ray(minv, o, d)
+    if pack.static.has_motion:
+        o_l = o_l + pack.ent_motion[ent] * time[:, None]
+    vi = pack.tri_vidx[face]  # (R,3)
+    t, beta, gamma, _ = ray_triangle(
+        o_l, d_l, pack.verts[vi[:, 0]], pack.verts[vi[:, 1]],
+        pack.verts[vi[:, 2]],
+    )
+    return t, beta, gamma
+
+
 def closest_hit(pack, o, d, time=None, skip_emissive: bool = False,
-                allow_pallas: bool = True) -> Hit:
+                allow_pallas: bool = True, differentiable: bool = False) -> Hit:
     """Closest intersection along each ray (IntersectObjects,
     src/raytracer.cpp:625-643)."""
     st = pack.static
@@ -268,7 +305,24 @@ def closest_hit(pack, o, d, time=None, skip_emissive: bool = False,
     hit = _empty_hit(n)
     t = hit.t
     if st.n_faces > 0 and st.n_entities > 0:
-        if st.use_bvh:
+        if differentiable:
+            # stop-grad topology from the fastest path + winner recompute
+            sg = jax.lax.stop_gradient
+            o_sg, d_sg, t_sg = sg(o), sg(d), sg(time)
+            if st.use_bvh:
+                _, ent, face, _, _, v_tri = _bvh_tri_best(
+                    pack, o_sg, d_sg, t_sg, skip_emissive)
+            else:
+                _, ent, face, _, _, v_tri = _brute_tri_best(
+                    pack, o_sg, d_sg, t_sg, skip_emissive, allow_pallas)
+            ent, face, v_tri = sg(ent), sg(face), sg(v_tri)
+            t_r, b_r, g_r = _tri_recompute(pack, o, d, time, ent, face)
+            # misses gathered garbage rows: mask them out at the source so
+            # no cotangent (or inf/NaN) ever touches those lanes
+            t_tri = jnp.where(v_tri, t_r, INF)
+            beta = jnp.where(v_tri, b_r, 0.0)
+            gamma = jnp.where(v_tri, g_r, 0.0)
+        elif st.use_bvh:
             t_tri, ent, face, beta, gamma, v_tri = _bvh_tri_best(
                 pack, o, d, time, skip_emissive
             )
@@ -302,14 +356,23 @@ def closest_hit(pack, o, d, time=None, skip_emissive: bool = False,
 
 
 def occluded(pack, o, d, light_t, time=None,
-             allow_pallas: bool = True) -> jnp.ndarray:
+             allow_pallas: bool = True,
+             differentiable: bool = False) -> jnp.ndarray:
     """True where something (non-emissive for meshes) blocks the segment
     to the light: min-hit with init ``light_t + 0.01`` compared against
-    ``light_t`` (IsInShadow, src/raytracer.cpp:567-583)."""
+    ``light_t`` (IsInShadow, src/raytracer.cpp:567-583).
+
+    The result is boolean, so under AD this is a pure topology query:
+    ``differentiable=True`` stops gradients at the inputs, which keeps the
+    Pallas kernel (no VJP needed) and the BVH while_loop usable inside
+    reverse-mode renders."""
     st = pack.static
     n = o.shape[0]
     if time is None:
         time = jnp.zeros(n, jnp.float32)
+    if differentiable:
+        sg = jax.lax.stop_gradient
+        o, d, light_t, time = sg(o), sg(d), sg(light_t), sg(time)
     blocked = jnp.zeros(n, bool)
     if st.n_faces > 0 and st.n_entities > 0:
         if st.use_bvh:

@@ -32,7 +32,8 @@ def env_sample_radiance(pack, d):
 
 
 def direct_lighting(pack, surf: Surface, w_o, time, key, skip_mlight=None,
-                    allow_pallas: bool = True, mat_rows=None):
+                    allow_pallas: bool = True, mat_rows=None,
+                    differentiable: bool = False):
     """Sum of all direct-light contributions at the surface points.
 
     ``skip_mlight`` (R,) holds a mesh-light index to skip for NEE
@@ -167,14 +168,15 @@ def direct_lighting(pack, surf: Surface, w_o, time, key, skip_mlight=None,
     n_shadow = len(w_is)
     if n_shadow == 1:
         blocked_all = occluded(pack, shadow_o, w_is[0], limits[0], time,
-                               allow_pallas)[None]
+                               allow_pallas, differentiable)[None]
     elif n_shadow > 1:
         big_o = jnp.tile(shadow_o, (n_shadow, 1))
         big_d = jnp.concatenate(w_is, axis=0)
         big_lim = jnp.concatenate(limits, axis=0)
         big_t = jnp.tile(time, n_shadow)
         blocked_all = occluded(pack, big_o, big_d, big_lim, big_t,
-                               allow_pallas).reshape(n_shadow, r)
+                               allow_pallas,
+                               differentiable).reshape(n_shadow, r)
 
     # ---- phase 3: shading per light (cheap, elementwise) ----
     for li in range(n_shadow):
