@@ -1,0 +1,900 @@
+"""Fused forward+BACKWARD Pallas kernel: the differentiable production path.
+
+The jnp wavefront (render/integrator.py, differentiable=True) pays ~20 ms of
+HBM round trips per bounce at 260k lanes and its reverse sweep doubles that —
+0.8-0.95 Mrays/s fwd+bwd at 1080p on TPU v5e.  This kernel runs the ENTIRE
+Whitted chain forward AND its reverse-mode adjoint in one Pallas dispatch:
+
+  * the forward chain is unrolled over depth (max_depth+1 segments); each
+    segment traces the VMEM-resident scene (same chunk-culled fold as
+    ops/pallas/megakernel.py, additionally carrying the winner's vertices
+    and table row) and evaluates one differentiable "step" — hit solve,
+    direct lighting, specular chain factor;
+  * the backward sweep is NOT hand-derived: each step is a pure jnp
+    function, and ``jax.vjp`` runs on it AT TRACE TIME inside the kernel, so
+    the adjoint lowers to ordinary VPU ops Mosaic can compile.  Correctness
+    oracle: jax.grad of the jnp wavefront (tests/test_megabwd.py);
+  * gradient semantics match the jnp path exactly (stop-gradient-on-topology,
+    diff/params.py): WHICH primitive wins, and shadow visibility, are
+    constants; (t, hit point, irradiance, shading) are differentiable; mesh
+    shading normals are the constant ``pack.tri_normal`` table and sphere
+    geometry (center/transform) is packed constants, so vertex gradients
+    flow through the triangle Cramer solve only — exactly like
+    ops/traverse.py::closest_hit's winner recompute;
+  * per-lane parameter cotangents (winner-vertex 9-vector, kd/ks/ambient/
+    mirror/phong) stream to HBM keyed by (tri-table row, material id) and a
+    tiny one-hot matmul epilogue reduces them on the MXU — the TPU-shaped
+    replacement for scatter-add, which Mosaic cannot express and XLA
+    serializes; scalar cotangents (light intensities, background) reduce
+    in-kernel across the sequential grid.
+
+Exposed as ``make_diff_render`` — a jax.custom_vjp whose primal runs the
+fwd-only variant (same kernel, reverse sweep compiled out) and whose bwd
+runs the fused kernel + epilogue.  Parameters enter as TRACED tables (the
+megakernel bakes them as constants — fine for rendering, a recompile per
+optimizer step for training), so optimization loops reuse one executable.
+
+Eligibility (``bwd_eligible``): Whitted only (no PT), mirror/conductor
+chains (no dielectric stack), point/directional lights + ambient, no
+textures / env / motion / roughness / custom BRDFs / emissives; the same
+VMEM face budget as the megakernel, table rows <= _BWD_MAX_ROWS so the
+epilogue one-hot stays small.  Everything else falls back to the jnp
+wavefront.  Reference behavior covered: raytracer.cpp:65-134 (PerformShading
+dispatch), 208-254 (conductor Fresnel), 442-472 (mirror), 540-554
+(GetDiffuse/GetSpecular), 701-806 (direct lighting), 567-583 (IsInShadow).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from advanced_cpu_raytracing_tpu.scene.types import MaterialType
+
+ROWS, LANES = 8, 128
+TILE = ROWS * LANES
+BIG = 3.0e37
+CHUNK = 128
+
+_MIRROR = int(MaterialType.MIRROR)
+_CONDUCTOR = int(MaterialType.CONDUCTOR)
+_DEFAULT = int(MaterialType.DEFAULT)
+
+# Stream layout per depth (per-lane f32 planes written to HBM):
+#   0 row | 1 matf | 2:11 dv0/dv1/dv2 | 11:14 dkd | 14:17 dks | 17:20 damb
+#   | 20:23 dmir | 23 dphong
+_C = 24
+# epilogue one-hot sizes: tri-table rows and materials
+_BWD_MAX_ROWS = 4096
+_BWD_MAX_MATS = 32
+
+
+@dataclass(frozen=True)
+class BwdConsts:
+    """Scene facts baked into the kernel (params are NOT here — they are
+    traced inputs)."""
+
+    n_tri: int
+    n_mat: int
+    mat_types: tuple  # per material: MaterialType int
+    cond_nk: tuple  # per material: (ior, absorption_index) — not params
+    spheres: tuple  # (minv12, nrm9, center3, radius, mat) — packed constants
+    pl_pos: tuple  # ((3,),)*P — positions are not params
+    dl_wi: tuple  # unit vector TOWARD each directional light
+    ambient: tuple  # ambient LIGHT (const; mat_ambient is the param)
+    eps: float
+    max_depth: int
+    has_mirror: bool
+    has_conductor: bool
+    with_bwd: bool
+
+
+def bwd_eligible(static, opts, pack=None) -> bool:
+    """Static gate for the fused fwd+bwd kernel (see module docstring)."""
+    return (
+        not opts.path_tracing
+        and opts.max_depth <= 8
+        and static.n_textures == 0
+        and static.n_env == 0
+        and static.n_area == 0
+        and static.n_spot == 0
+        and static.n_mesh_lights == 0
+        and not static.has_motion
+        and not static.has_rough
+        and not static.has_dielectric
+        and not static.has_emissive_mat
+        and getattr(static, "n_brdfs", 0) == 0
+        and static.n_point <= 4
+        and static.n_directional <= 4
+        and static.n_spheres <= 8
+        and static.n_materials <= _BWD_MAX_MATS
+        and (static.n_faces == 0 or
+             (0 < static.n_work_items <= _BWD_MAX_ROWS))
+        and (static.n_work_items > 0 or static.n_spheres > 0)
+    )
+
+
+def build_bwd_consts(pack, opts, with_bwd: bool) -> BwdConsts:
+    st = pack.static
+
+    def tup(a):
+        return tuple(float(x) for x in np.asarray(a).reshape(-1))
+
+    spheres = tuple(
+        (tup(np.asarray(pack.sph_minv)[i]), tup(np.asarray(pack.sph_nrm)[i]),
+         tup(np.asarray(pack.sph_center)[i]),
+         float(np.asarray(pack.sph_radius)[i]),
+         int(np.asarray(pack.sph_material)[i]))
+        for i in range(st.n_spheres))
+    dl_wi = []
+    for i in range(st.n_directional):
+        dv = np.asarray(pack.dl_dir)[i].astype(np.float64)
+        dv = -dv / max(np.linalg.norm(dv), 1e-30)
+        dl_wi.append(tup(dv))
+    mat_types = tuple(int(x) for x in np.asarray(pack.mat_type))
+    cond_nk = tuple(
+        (float(np.asarray(pack.mat_ior)[i]),
+         float(np.asarray(pack.mat_cond_k)[i]))
+        for i in range(st.n_materials))
+    return BwdConsts(
+        n_tri=st.n_work_items, n_mat=st.n_materials, mat_types=mat_types,
+        cond_nk=cond_nk, spheres=spheres,
+        pl_pos=tuple(tup(np.asarray(pack.pl_pos)[i])
+                     for i in range(st.n_point)),
+        dl_wi=tuple(dl_wi), ambient=tup(pack.ambient_light),
+        eps=float(np.asarray(pack.shadow_eps)),
+        max_depth=int(opts.max_depth),
+        has_mirror=st.has_mirror, has_conductor=st.has_conductor,
+        with_bwd=with_bwd,
+    )
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+
+def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+            gx_ref, gy_ref, gz_ref,
+            tri_ref, chunk_ref, mat_ref, pl_ref, dl_ref, bg_ref,
+            *outs, bc: BwdConsts):
+    if bc.with_bwd:
+        (lx_ref, ly_ref, lz_ref, stream_ref, smalls_ref,
+         box_ref, boy_ref, boz_ref, bdx_ref, bdy_ref, bdz_ref) = outs
+    else:
+        lx_ref, ly_ref, lz_ref = outs
+    shape = (ROWS, LANES)
+    ZERO = jnp.zeros(shape, jnp.float32)
+    ONE = jnp.ones(shape, jnp.float32)
+    FALSE = jnp.zeros(shape, jnp.bool_)
+    D = bc.max_depth + 1  # chain segments: primary + max_depth reflections
+    eps = bc.eps
+    P, Pd = len(bc.pl_pos), len(bc.dl_wi)
+
+    def norm3(x, y, z):
+        inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-20))
+        return x * inv, y * inv, z * inv
+
+    def powmax(base, e):
+        pos = base > 0.0
+        safe = jnp.where(pos, base, 1.0)
+        val = jnp.exp(e * jnp.log(safe))
+        return jnp.where(pos, val, jnp.where(e == 0.0, 1.0, 0.0))
+
+    # ---- non-differentiable scene sweep machinery (megakernel twins) ----
+    def tri_hit(ti, px, py, pz, vx, vy, vz):
+        v0x = tri_ref[ti, 0]
+        v0y = tri_ref[ti, 1]
+        v0z = tri_ref[ti, 2]
+        e1x = v0x - tri_ref[ti, 3]
+        e1y = v0y - tri_ref[ti, 4]
+        e1z = v0z - tri_ref[ti, 5]
+        e2x = v0x - tri_ref[ti, 6]
+        e2y = v0y - tri_ref[ti, 7]
+        e2z = v0z - tri_ref[ti, 8]
+        bx = v0x - px
+        by = v0y - py
+        bz = v0z - pz
+        m0 = e2y * vz - vy * e2z
+        m1 = e2x * vz - vx * e2z
+        m2 = e2x * vy - vx * e2y
+        det_a = e1x * m0 - e1y * m1 + e1z * m2
+        safe = jnp.where(det_a == 0.0, 1.0, det_a)
+        beta = (bx * m0 - by * m1 + bz * m2) / safe
+        n0 = by * vz - vy * bz
+        n1 = bx * vz - vx * bz
+        n2 = bx * vy - vx * by
+        gamma = (e1x * n0 - e1y * n1 + e1z * n2) / safe
+        q0 = e2y * bz - by * e2z
+        q1 = e2x * bz - bx * e2z
+        q2 = e2x * by - bx * e2y
+        t = (e1x * q0 - e1y * q1 + e1z * q2) / safe
+        valid = ((det_a != 0.0) & (beta >= 0.0) & (gamma >= 0.0)
+                 & (beta + gamma <= 1.0) & (t > 0.0))
+        return t, valid
+
+    def sphere_local(s, px, py, pz, is_point):
+        m = s[0]
+        t = 1.0 if is_point else 0.0
+        return (m[0] * px + m[1] * py + m[2] * pz + m[3] * t,
+                m[4] * px + m[5] * py + m[6] * pz + m[7] * t,
+                m[8] * px + m[9] * py + m[10] * pz + m[11] * t)
+
+    def sphere_t(s, px, py, pz, vx, vy, vz):
+        """Differentiable quadratic solve (Sphere::Intersect,
+        src/sphere.cpp:31-72); also used non-diff in the sweep."""
+        olx, oly, olz = sphere_local(s, px, py, pz, True)
+        dlx, dly, dlz = sphere_local(s, vx, vy, vz, False)
+        c = s[2]
+        rad = s[3]
+        ocx, ocy, ocz = olx - c[0], oly - c[1], olz - c[2]
+        a = dlx * dlx + dly * dly + dlz * dlz
+        b = 2.0 * (dlx * ocx + dly * ocy + dlz * ocz)
+        cc = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+        delta = b * b - 4.0 * a * cc
+        sq = jnp.sqrt(jnp.where(delta > 0.0, delta, 1.0))
+        sq = jnp.where(delta > 0.0, sq, 0.0)
+        denom = jnp.where(a > 0.0, 2.0 * a, 1.0)
+        t1 = (-b + sq) / denom
+        t2 = (-b - sq) / denom
+        lo = jnp.minimum(t1, t2)
+        hi = jnp.maximum(t1, t2)
+        t = jnp.where(lo > 0.0, lo, hi)
+        valid = (delta >= 0.0) & (t > 0.0) & (a > 0.0)
+        return t, valid
+
+    def sphere_normal(s, px, py, pz, vx, vy, vz, t):
+        """Unit world normal at parameter t (differentiable)."""
+        olx, oly, olz = sphere_local(s, px, py, pz, True)
+        dlx, dly, dlz = sphere_local(s, vx, vy, vz, False)
+        c = s[2]
+        prx = olx + t * dlx - c[0]
+        pry = oly + t * dly - c[1]
+        prz = olz + t * dlz - c[2]
+        nm = s[1]
+        return norm3(nm[0] * prx + nm[1] * pry + nm[2] * prz,
+                     nm[3] * prx + nm[4] * pry + nm[5] * prz,
+                     nm[6] * prx + nm[7] * pry + nm[8] * prz)
+
+    def sel_sphere_consts(sphf):
+        """Per-lane constants of the WINNING sphere (masked selects).
+
+        The differentiable step then runs ONE quadratic solve instead of
+        unrolling every sphere — without this, the per-sphere vjp graphs
+        multiply and XLA's compile time explodes (hours on CPU at 5
+        spheres x depth 3)."""
+        m = [ONE if j in (0, 5, 10) else ZERO for j in range(12)]
+        nm = [ONE if j in (0, 4, 8) else ZERO for j in range(9)]
+        c = [ZERO, ZERO, ZERO]
+        rad = ONE
+        for si, s in enumerate(bc.spheres):
+            sm = sphf == float(si)
+            m = [jnp.where(sm, s[0][j], m[j]) for j in range(12)]
+            nm = [jnp.where(sm, s[1][j], nm[j]) for j in range(9)]
+            c = [jnp.where(sm, s[2][j], c[j]) for j in range(3)]
+            rad = jnp.where(sm, s[3], rad)
+        return (tuple(m), tuple(nm), tuple(c), rad, 0)
+
+    n_chunks = (bc.n_tri + CHUNK - 1) // CHUNK
+
+    def chunk_sweep(px, py, pz, vx, vy, vz, body, init, live_of):
+        if n_chunks <= 1:
+            return jax.lax.fori_loop(0, bc.n_tri, body, init)
+        ivx = 1.0 / vx
+        ivy = 1.0 / vy
+        ivz = 1.0 / vz
+
+        def chunk_body(ci, carry):
+            t_b = live_of(carry)
+            t1 = (chunk_ref[ci, 0] - px) * ivx
+            t2 = (chunk_ref[ci, 3] - px) * ivx
+            tmin = jnp.minimum(t1, t2)
+            tmax = jnp.maximum(t1, t2)
+            t1 = (chunk_ref[ci, 1] - py) * ivy
+            t2 = (chunk_ref[ci, 4] - py) * ivy
+            tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+            tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+            t1 = (chunk_ref[ci, 2] - pz) * ivz
+            t2 = (chunk_ref[ci, 5] - pz) * ivz
+            tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+            tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+            enter = (tmax > 0) & (tmax >= tmin) & (tmin < t_b)
+            lo = ci * CHUNK
+            hi = jnp.minimum(lo + CHUNK, bc.n_tri)
+            return jax.lax.cond(
+                jnp.any(enter),
+                lambda c: jax.lax.fori_loop(lo, hi, body, c),
+                lambda c: c, carry)
+
+        return jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+
+    def trace(px, py, pz, vx, vy, vz, active):
+        """Closest hit carrying the winner's vertices + table row.
+
+        Returns dict of stored (stop-grad) facts for one chain segment."""
+        neg1 = jnp.full(shape, -1.0)
+        init = (jnp.where(active, BIG, 0.0), neg1,  # t, row
+                ZERO, ZERO, ONE,  # n (tri const normal)
+                ZERO,  # matf
+                ZERO, ZERO, ZERO, ZERO, ZERO, ZERO, ZERO, ZERO, ZERO)  # v9
+
+        def body(ti, carry):
+            t_b = carry[0]
+            t, valid = tri_hit(ti, px, py, pz, vx, vy, vz)
+            better = valid & (t < t_b)
+
+            def sel(cur, new):
+                return jnp.where(better, new, cur)
+
+            return (sel(t_b, t), sel(carry[1], ti.astype(jnp.float32)),
+                    sel(carry[2], tri_ref[ti, 9]),
+                    sel(carry[3], tri_ref[ti, 10]),
+                    sel(carry[4], tri_ref[ti, 11]),
+                    sel(carry[5], tri_ref[ti, 12])) + tuple(
+                sel(carry[6 + j], tri_ref[ti, j]) for j in range(9))
+
+        if bc.n_tri > 0:
+            init = chunk_sweep(px, py, pz, vx, vy, vz, body, init,
+                               live_of=lambda c: c[0])
+        t_b, row = init[0], init[1]
+        nx, ny, nz = init[2], init[3], init[4]
+        matf = init[5]
+        v9 = list(init[6:15])
+        sphf = jnp.full(shape, -1.0)
+        for si, s in enumerate(bc.spheres):
+            t, valid = sphere_t(s, px, py, pz, vx, vy, vz)
+            better = valid & (t < t_b) & active
+            t_b = jnp.where(better, t, t_b)
+            row = jnp.where(better, -1.0, row)
+            sphf = jnp.where(better, float(si), sphf)
+            matf = jnp.where(better, float(s[4]), matf)
+        hit = t_b < (BIG * 0.5)
+        return dict(t0=t_b, row=row, sphf=sphf, matf=matf, hit=hit,
+                    n_tri=(nx, ny, nz), v9=v9)
+
+    def shadow(px, py, pz, vx, vy, vz, limit, gate):
+        def body(ti, blocked):
+            t, valid = tri_hit(ti, px, py, pz, vx, vy, vz)
+            return jnp.maximum(
+                blocked, jnp.where(valid & (t < limit), 1.0, 0.0))
+
+        blocked = jnp.where(gate, 0.0, 1.0)
+        if bc.n_tri > 0:
+            blocked = chunk_sweep(
+                px, py, pz, vx, vy, vz, body, blocked,
+                live_of=lambda b: jnp.where(b > 0.5, 0.0, limit))
+        out = blocked > 0.5
+        for s in bc.spheres:
+            t, valid = sphere_t(s, px, py, pz, vx, vy, vz)
+            out = out | (valid & (t < limit))
+        return out
+
+    def mat_mask(matf, mtype):
+        m = FALSE
+        for i, mt in enumerate(bc.mat_types):
+            if mt == mtype:
+                m = m | (matf == float(i))
+        return m
+
+    # ---- traced parameter tables ----
+    mat = mat_ref[:, :]  # (M, 16): amb3 kd3 ks3 mir3 phong
+    pl_scal = tuple(pl_ref[i, c] for i in range(P) for c in range(3))
+    dl_scal = tuple(dl_ref[i, c] for i in range(Pd) for c in range(3))
+    bg_scal = tuple(bg_ref[0, c] for c in range(3))
+
+    def matsel(matf, col):
+        out = jnp.full(shape, 0.0) + mat[0, col]
+        for i in range(1, bc.n_mat):
+            out = jnp.where(matf == float(i), mat[i, col], out)
+        return out
+
+    # ---- one differentiable chain step ----
+    def make_step(k, st):
+        """st: stored stop-grad facts for segment k.  The returned function
+        is pure jnp over its DIFFERENTIABLE leaves; jax.vjp of it supplies
+        the adjoint.  Transcribes PerformShading for the chain case
+        (raytracer.cpp:65-134) exactly like the jnp wavefront."""
+        is_tri = st["row"] >= 0.0
+        hit = st["hit"]
+        lit = st["lit"]
+        ntx, nty, ntz = st["n_tri"]
+        if bc.spheres:
+            s_sel = sel_sphere_consts(st["sphf"])
+            is_sph = st["sphf"] >= 0.0
+
+        def step(o3, d3, w3, v9, kd3, ks3, amb3, mir3, phong,
+                 pls, dls, bgs):
+            ox_, oy_, oz_ = o3
+            dx_, dy_, dz_ = d3
+            wx_, wy_, wz_ = w3
+            # --- differentiable t on the stored winner ---
+            v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z = v9
+            e1x, e1y, e1z = v0x - v1x, v0y - v1y, v0z - v1z
+            e2x, e2y, e2z = v0x - v2x, v0y - v2y, v0z - v2z
+            bx, by, bz = v0x - ox_, v0y - oy_, v0z - oz_
+            m0 = e2y * dz_ - dy_ * e2z
+            m1 = e2x * dz_ - dx_ * e2z
+            m2 = e2x * dy_ - dx_ * e2y
+            det_a = e1x * m0 - e1y * m1 + e1z * m2
+            safe = jnp.where(det_a == 0.0, 1.0, det_a)
+            q0 = e2y * bz - by * e2z
+            q1 = e2x * bz - bx * e2z
+            q2 = e2x * by - bx * e2y
+            t = (e1x * q0 - e1y * q1 + e1z * q2) / safe
+            t = jnp.where(is_tri, t, 0.0)
+            nx, ny, nz = (jnp.where(is_tri, ntx, 0.0),
+                          jnp.where(is_tri, nty, 0.0),
+                          jnp.where(is_tri, ntz, 1.0))
+            if bc.spheres:
+                # ONE solve on the per-lane selected winner constants
+                ts, _ = sphere_t(s_sel, ox_, oy_, oz_, dx_, dy_, dz_)
+                ts_safe = jnp.where(is_sph, ts, 0.0)
+                snx, sny, snz = sphere_normal(
+                    s_sel, ox_, oy_, oz_, dx_, dy_, dz_, ts_safe)
+                t = jnp.where(is_sph, ts, t)
+                nx = jnp.where(is_sph, snx, nx)
+                ny = jnp.where(is_sph, sny, ny)
+                nz = jnp.where(is_sph, snz, nz)
+            t = jnp.where(hit, t, 0.0)
+            px = ox_ + t * dx_
+            py = oy_ + t * dy_
+            pz = oz_ + t * dz_
+            wox, woy, woz = -dx_, -dy_, -dz_
+
+            lr = lg = lb = ZERO
+            if k == 0:
+                mp = st["miss_primary"]
+                lr = lr + jnp.where(mp, wx_ * bgs[0], 0.0)
+                lg = lg + jnp.where(mp, wy_ * bgs[1], 0.0)
+                lb = lb + jnp.where(mp, wz_ * bgs[2], 0.0)
+
+            # ambient (raytracer.cpp:98-100)
+            if any(a != 0.0 for a in bc.ambient):
+                lr = lr + jnp.where(lit, wx_ * bc.ambient[0] * amb3[0], 0.0)
+                lg = lg + jnp.where(lit, wy_ * bc.ambient[1] * amb3[1], 0.0)
+                lb = lb + jnp.where(lit, wz_ * bc.ambient[2] * amb3[2], 0.0)
+
+            def shade_unit(wix, wiy, wiz):
+                cos_t = jnp.maximum(0.0, wix * nx + wiy * ny + wiz * nz)
+                hx, hy, hz = norm3(wix + wox, wiy + woy, wiz + woz)
+                cos_hm = jnp.maximum(0.0, hx * nx + hy * ny + hz * nz)
+                spec = powmax(cos_hm, phong)
+                return (kd3[0] * cos_t + ks3[0] * spec,
+                        kd3[1] * cos_t + ks3[1] * spec,
+                        kd3[2] * cos_t + ks3[2] * spec)
+
+            for i, lp in enumerate(bc.pl_pos):
+                tlx = lp[0] - px
+                tly = lp[1] - py
+                tlz = lp[2] - pz
+                d2 = jnp.maximum(tlx * tlx + tly * tly + tlz * tlz, 1e-20)
+                inv = jax.lax.rsqrt(d2)
+                wix, wiy, wiz = tlx * inv, tly * inv, tlz * inv
+                vx_, vy_, vz_ = shade_unit(wix, wiy, wiz)
+                g = lit & st[f"vis_p{i}"]
+                lr = lr + jnp.where(g, wx_ * pls[3 * i + 0] / d2 * vx_, 0.0)
+                lg = lg + jnp.where(g, wy_ * pls[3 * i + 1] / d2 * vy_, 0.0)
+                lb = lb + jnp.where(g, wz_ * pls[3 * i + 2] / d2 * vz_, 0.0)
+
+            for i, wi in enumerate(bc.dl_wi):
+                wix = jnp.full(shape, wi[0])
+                wiy = jnp.full(shape, wi[1])
+                wiz = jnp.full(shape, wi[2])
+                vx_, vy_, vz_ = shade_unit(wix, wiy, wiz)
+                g = lit & st[f"vis_d{i}"]
+                lr = lr + jnp.where(g, wx_ * dls[3 * i + 0] * vx_, 0.0)
+                lg = lg + jnp.where(g, wy_ * dls[3 * i + 1] * vy_, 0.0)
+                lb = lb + jnp.where(g, wz_ * dls[3 * i + 2] * vz_, 0.0)
+
+            # --- specular chain child (mirror 442-472, conductor 208-254) ---
+            if k == bc.max_depth or not (bc.has_mirror or bc.has_conductor):
+                z = ZERO
+                return (lr, lg, lb, z, z, z + 1.0, z, z, z + 1.0, z, z, z)
+            chain = st["chain"]
+            ndotwo = nx * wox + ny * woy + nz * woz
+            rx, ry, rz = norm3(2.0 * nx * ndotwo - wox,
+                               2.0 * ny * ndotwo - woy,
+                               2.0 * nz * ndotwo - woz)
+            fx = fy = fz = ZERO
+            if bc.has_mirror:
+                mm = st["is_mirror"]
+                fx = jnp.where(mm, mir3[0], fx)
+                fy = jnp.where(mm, mir3[1], fy)
+                fz = jnp.where(mm, mir3[2], fz)
+            if bc.has_conductor:
+                cm = st["is_cond"]
+                n2 = ZERO
+                k2 = ZERO
+                for i, (ior_i, k_i) in enumerate(bc.cond_nk):
+                    sel = st["matf"] == float(i)
+                    n2 = jnp.where(sel, ior_i, n2)
+                    k2 = jnp.where(sel, k_i, k2)
+                n2k2 = n2 * n2 + k2 * k2
+                two = 2.0 * n2 * ndotwo
+                cos2 = ndotwo * ndotwo
+                rs = (n2k2 - two + cos2) / jnp.maximum(
+                    n2k2 + two + cos2, 1e-20)
+                rp = (n2k2 * cos2 - two + 1.0) / jnp.maximum(
+                    n2k2 * cos2 + two + 1.0, 1e-20)
+                ratio = 0.5 * (rs + rp)
+                fx = jnp.where(cm, mir3[0] * ratio, fx)
+                fy = jnp.where(cm, mir3[1] * ratio, fy)
+                fz = jnp.where(cm, mir3[2] * ratio, fz)
+            o2x = jnp.where(chain, px + nx * eps, 0.0)
+            o2y = jnp.where(chain, py + ny * eps, 0.0)
+            o2z = jnp.where(chain, pz + nz * eps, 0.0)
+            d2x = jnp.where(chain, rx, 0.0)
+            d2y = jnp.where(chain, ry, 0.0)
+            d2z = jnp.where(chain, rz, 1.0)
+            w2x = jnp.where(chain, wx_ * fx, 0.0)
+            w2y = jnp.where(chain, wy_ * fy, 0.0)
+            w2z = jnp.where(chain, wz_ * fz, 0.0)
+            return (lr, lg, lb, o2x, o2y, o2z, d2x, d2y, d2z, w2x, w2y, w2z)
+
+        return step
+
+    # ---- forward chain (unrolled; every per-depth leaf kept live) ----
+    o3 = (ox_ref[:, :], oy_ref[:, :], oz_ref[:, :])
+    d3 = (dx_ref[:, :], dy_ref[:, :], dz_ref[:, :])
+    w3 = (ONE, ONE, ONE)
+    active = jnp.ones(shape, jnp.bool_)
+    Lr = Lg = Lb = ZERO
+    segs = []  # (step_fn, leaves) per depth
+    for k in range(D):
+        st = trace(o3[0], o3[1], o3[2], d3[0], d3[1], d3[2], active)
+        hit = st["hit"] & active
+        st["hit"] = hit
+        st["lit"] = hit  # no dielectric -> never inside; no emissive
+        st["miss_primary"] = active & ~st["hit"] if k == 0 else FALSE
+        matf = st["matf"]
+        # geometric normal incl. sphere winners (one selected-consts solve)
+        nx_, ny_, nz_ = st["n_tri"]
+        if bc.spheres:
+            s_sel_f = sel_sphere_consts(st["sphf"])
+            is_sph_f = st["sphf"] >= 0.0
+            snx, sny, snz = sphere_normal(
+                s_sel_f, o3[0], o3[1], o3[2], d3[0], d3[1], d3[2],
+                jnp.where(is_sph_f, st["t0"], 0.0))
+            nx_ = jnp.where(is_sph_f, snx, nx_)
+            ny_ = jnp.where(is_sph_f, sny, ny_)
+            nz_ = jnp.where(is_sph_f, snz, nz_)
+        # chain children (topology): mirror/conductor with depth left
+        if k < bc.max_depth and (bc.has_mirror or bc.has_conductor):
+            chain = FALSE
+            if bc.has_mirror:
+                st["is_mirror"] = hit & mat_mask(matf, _MIRROR)
+                chain = chain | st["is_mirror"]
+            if bc.has_conductor:
+                # the ratio>1e-4 gate (raytracer.cpp:247) is topology; the
+                # ratio VALUE is recomputed differentiably in the step
+                cos_g = nx_ * -d3[0] + ny_ * -d3[1] + nz_ * -d3[2]
+                n2 = ZERO
+                k2 = ZERO
+                for i, (ior_i, k_i) in enumerate(bc.cond_nk):
+                    sel = matf == float(i)
+                    n2 = jnp.where(sel, ior_i, n2)
+                    k2 = jnp.where(sel, k_i, k2)
+                n2k2 = n2 * n2 + k2 * k2
+                two = 2.0 * n2 * cos_g
+                cos2 = cos_g * cos_g
+                rs = (n2k2 - two + cos2) / jnp.maximum(n2k2 + two + cos2,
+                                                       1e-20)
+                rp = (n2k2 * cos2 - two + 1.0) / jnp.maximum(
+                    n2k2 * cos2 + two + 1.0, 1e-20)
+                ratio_g = 0.5 * (rs + rp)
+                st["is_cond"] = (hit & mat_mask(matf, _CONDUCTOR)
+                                 & (ratio_g > 1e-4))
+                chain = chain | st["is_cond"]
+            st["chain"] = chain
+        else:
+            st["chain"] = FALSE
+
+        # shadow visibility per light (stop-grad: p from the sweep's t,
+        # shadow origin offset along the geometric normal computed above)
+        t_safe = jnp.where(hit, st["t0"], 0.0)
+        px = o3[0] + t_safe * d3[0]
+        py = o3[1] + t_safe * d3[1]
+        pz = o3[2] + t_safe * d3[2]
+        sox = px + nx_ * eps
+        soy = py + ny_ * eps
+        soz = pz + nz_ * eps
+        for i, lp in enumerate(bc.pl_pos):
+            tlx = lp[0] - px
+            tly = lp[1] - py
+            tlz = lp[2] - pz
+            dist = jnp.sqrt(jnp.maximum(
+                tlx * tlx + tly * tly + tlz * tlz, 1e-20))
+            inv = 1.0 / dist
+            blocked = shadow(sox, soy, soz, tlx * inv, tly * inv, tlz * inv,
+                             dist, st["lit"])
+            st[f"vis_p{i}"] = ~blocked
+        for i, wi in enumerate(bc.dl_wi):
+            blocked = shadow(sox, soy, soz,
+                             jnp.full(shape, wi[0]), jnp.full(shape, wi[1]),
+                             jnp.full(shape, wi[2]), jnp.full(shape, BIG),
+                             st["lit"])
+            st[f"vis_d{i}"] = ~blocked
+
+        # per-lane selected material params (traced leaves for the step)
+        kd3 = tuple(matsel(matf, 3 + c) for c in range(3))
+        ks3 = tuple(matsel(matf, 6 + c) for c in range(3))
+        amb3 = tuple(matsel(matf, 0 + c) for c in range(3))
+        mir3 = tuple(matsel(matf, 9 + c) for c in range(3))
+        phong = matsel(matf, 12)
+        v9 = tuple(st["v9"])
+
+        step = make_step(k, st)
+        leaves = (o3, d3, w3, v9, kd3, ks3, amb3, mir3, phong,
+                  pl_scal, dl_scal, bg_scal)
+        out = step(*leaves)
+        Lr = Lr + out[0]
+        Lg = Lg + out[1]
+        Lb = Lb + out[2]
+        segs.append((step, leaves, st))
+        o3 = (out[3], out[4], out[5])
+        d3 = (out[6], out[7], out[8])
+        w3 = (out[9], out[10], out[11])
+        active = st["chain"]
+
+    lx_ref[:, :] = Lr
+    ly_ref[:, :] = Lg
+    lz_ref[:, :] = Lb
+    if not bc.with_bwd:
+        return
+
+    # ---- reverse sweep: vjp of each step at trace time ----
+    gbar = (gx_ref[:, :], gy_ref[:, :], gz_ref[:, :])
+    obar = (ZERO, ZERO, ZERO)
+    dbar = (ZERO, ZERO, ZERO)
+    wbar = (ZERO, ZERO, ZERO)
+    pl_bar = [0.0] * (3 * P)
+    dl_bar = [0.0] * (3 * Pd)
+    bg_bar = [0.0] * 3
+    for k in reversed(range(D)):
+        step, leaves, st = segs[k]
+        _, vjp_fn = jax.vjp(lambda *ls: step(*ls), *leaves)
+        cots = vjp_fn(tuple(gbar) + tuple(obar) + tuple(dbar) + tuple(wbar))
+        (c_o3, c_d3, c_w3, c_v9, c_kd, c_ks, c_amb, c_mir, c_phong,
+         c_pl, c_dl, c_bg) = cots
+        obar, dbar, wbar = c_o3, c_d3, c_w3
+        for j in range(3 * P):
+            pl_bar[j] = pl_bar[j] + c_pl[j]
+        for j in range(3 * Pd):
+            dl_bar[j] = dl_bar[j] + c_dl[j]
+        for j in range(3):
+            bg_bar[j] = bg_bar[j] + c_bg[j]
+        base = k * _C
+        stream_ref[base + 0, :, :] = st["row"]
+        stream_ref[base + 1, :, :] = st["matf"]
+        for j in range(9):
+            stream_ref[base + 2 + j, :, :] = c_v9[j]
+        for j in range(3):
+            stream_ref[base + 11 + j, :, :] = c_kd[j]
+            stream_ref[base + 14 + j, :, :] = c_ks[j]
+            stream_ref[base + 17 + j, :, :] = c_amb[j]
+            stream_ref[base + 20 + j, :, :] = c_mir[j]
+        stream_ref[base + 23, :, :] = c_phong
+
+    box_ref[:, :] = obar[0]
+    boy_ref[:, :] = obar[1]
+    boz_ref[:, :] = obar[2]
+    bdx_ref[:, :] = dbar[0]
+    bdy_ref[:, :] = dbar[1]
+    bdz_ref[:, :] = dbar[2]
+
+    # scalar cotangents: accumulate across the (sequential) grid
+    ri = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    acc = ZERO
+    for j in range(3 * P):
+        acc = acc + jnp.where((ri == 0) & (ci == j), pl_bar[j], 0.0)
+    for j in range(3 * Pd):
+        acc = acc + jnp.where((ri == 1) & (ci == j), dl_bar[j], 0.0)
+    for j in range(3):
+        acc = acc + jnp.where((ri == 2) & (ci == j), bg_bar[j], 0.0)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        smalls_ref[:, :] = jnp.zeros(shape, jnp.float32)
+
+    smalls_ref[:, :] += acc
+
+
+# ---------------------------------------------------------------------------
+# host wrapper + custom_vjp
+# ---------------------------------------------------------------------------
+
+
+def _pad_rows(x, n):
+    pad = n - x.shape[0]
+    if pad <= 0:
+        return x
+    return jnp.pad(x, ((0, pad),), constant_values=1.0)
+
+
+def _bwd_call(bc: BwdConsts, tri_tab, chunk_tab, mat_tab, pl_tab, dl_tab,
+              bg_tab, o, d, gbar, interpret: bool):
+    """Invoke the kernel.  gbar=None -> fwd-only variant."""
+    r = o.shape[0]
+    r_pad = ((r + TILE - 1) // TILE) * TILE
+    n_rows = r_pad // LANES
+    cols = [
+        _pad_rows(arr[:, kk], r_pad).reshape(n_rows, LANES)
+        for arr in (o, d)
+        for kk in range(3)
+    ]
+    if bc.with_bwd:
+        # padded lanes MUST carry zero cotangent (their garbage rays would
+        # otherwise pollute the streamed parameter gradients)
+        gcols = [
+            jnp.pad(gbar[:, kk], (0, r_pad - r)).reshape(n_rows, LANES)
+            for kk in range(3)
+        ]
+    else:
+        zero = jnp.zeros((n_rows, LANES), jnp.float32)
+        gcols = [zero] * 3
+    grid = (n_rows // ROWS,)
+    blk = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    D = bc.max_depth + 1
+
+    out_shape = [jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32)] * 3
+    out_specs = [blk] * 3
+    if bc.with_bwd:
+        out_shape += [
+            jax.ShapeDtypeStruct((D * _C, n_rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((ROWS, LANES), jnp.float32),
+        ] + [jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32)] * 6
+        out_specs += [
+            pl.BlockSpec((D * _C, ROWS, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [blk] * 6
+
+    outs = pl.pallas_call(
+        functools.partial(_kernel, bc=bc),
+        grid=grid,
+        in_specs=[blk] * 9 + [full] * 6,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*cols, *gcols, tri_tab, chunk_tab, mat_tab, pl_tab, dl_tab, bg_tab)
+    return outs, n_rows
+
+
+def _reduce_streams(stream, n_tri: int, n_mat: int, D: int, r: int):
+    """One-hot matmul reduction of the per-lane cotangent streams.
+
+    stream: (D*_C, n_rows, LANES).  Returns (d_triw (W,9), d_mat (M,13)).
+    The one-hot contraction runs on the MXU — the TPU replacement for the
+    scatter-add XLA would otherwise serialize."""
+    planes = stream.reshape(D, _C, -1)  # (D, C, R')
+    rows = planes[:, 0, :].reshape(-1)  # (D*R',)
+    matf = planes[:, 1, :].reshape(-1)
+    dv = planes[:, 2:11, :].transpose(0, 2, 1).reshape(-1, 9)
+    dm = planes[:, 11:24, :].transpose(0, 2, 1).reshape(-1, 13)
+
+    w = max(n_tri, 1)
+    # precision=HIGHEST: default TPU matmul truncates f32 operands to bf16,
+    # which would cost ~0.4% relative error on every reduced gradient
+    hi = jax.lax.Precision.HIGHEST
+    oh_rows = (rows[:, None] == jnp.arange(w, dtype=jnp.float32)[None]
+               ).astype(jnp.float32)
+    d_triw = jnp.einsum("rw,rc->wc", oh_rows, dv, precision=hi,
+                        preferred_element_type=jnp.float32)
+    oh_mat = (matf[:, None] == jnp.arange(n_mat, dtype=jnp.float32)[None]
+              ).astype(jnp.float32)
+    # miss lanes carry matf from init (0) but zero cotangents, so no mask
+    # is needed beyond the cotangent values themselves
+    d_mat = jnp.einsum("rm,rc->mc", oh_mat, dm, precision=hi,
+                       preferred_element_type=jnp.float32)
+    return d_triw, d_mat
+
+
+def make_diff_render(pack, opts, interpret: bool = False):
+    """Differentiable fused render: returns ``f(params, o, d) -> (R,3)``.
+
+    ``params`` is a dict with any subset of {mat_ambient, mat_diffuse,
+    mat_specular, mat_mirror, mat_phong, pl_intensity, dl_radiance,
+    bg_color, verts}; missing keys come from ``pack``.  Forward runs the
+    fwd-only kernel; jax.grad / value_and_grad route through the fused
+    fwd+bwd kernel + one-hot epilogue.  Gradient semantics match
+    trace_radiance(differentiable=True) — see module docstring."""
+    st = pack.static
+    bc_f = build_bwd_consts(pack, opts, with_bwd=False)
+    bc_b = build_bwd_consts(pack, opts, with_bwd=True)
+    D = bc_f.max_depth + 1
+
+    # constant geometry/table pieces
+    from advanced_cpu_raytracing_tpu.ops.pallas.megakernel import build_mega
+
+    _, tri_tab0, chunk_tab, _ = build_mega(pack, opts)
+    tri_rest = jax.lax.stop_gradient(tri_tab0[:, 9:])  # n_world, mat, flags
+    w_items = st.n_work_items
+    # world verts as a function of pack.verts: wi_v = R_row verts[tv] + tau
+    rot = pack.ent_fwd[pack.wi_ent][:, :3, :3]  # (W,3,3) consts
+    trn = pack.ent_fwd[pack.wi_ent][:, :3, 3]
+    tv = pack.tri_vidx[pack.wi_face]  # (W,3)
+
+    n_mat = st.n_materials
+    P, Pd = st.n_point, st.n_directional
+
+    def tables(params):
+        g = lambda f: params.get(f, getattr(pack, f))  # noqa: E731
+        mat_tab = jnp.concatenate([
+            g("mat_ambient")[:n_mat], g("mat_diffuse")[:n_mat],
+            g("mat_specular")[:n_mat], g("mat_mirror")[:n_mat],
+            g("mat_phong")[:n_mat, None],
+            jnp.zeros((n_mat, 3), jnp.float32),
+        ], axis=1)
+        pl_tab = (g("pl_intensity").reshape(-1, 3)[:P] if P
+                  else jnp.zeros((1, 3), jnp.float32))
+        dl_tab = (g("dl_radiance").reshape(-1, 3)[:Pd] if Pd
+                  else jnp.zeros((1, 3), jnp.float32))
+        bg_tab = g("bg_color").reshape(1, 3)
+        verts = g("verts")
+        if w_items:
+            # elementwise FMA, NOT einsum: TPU dots truncate f32 -> bf16,
+            # visibly perturbing world-space geometry (ops/intersect.py)
+            vk = verts[tv]  # (W,3,3) corners x xyz
+            tri_w = jnp.sum(rot[:, None, :, :] * vk[:, :, None, :], axis=-1) \
+                + trn[:, None, :]
+            tri_w = tri_w.reshape(w_items, 9)
+        else:
+            tri_w = jnp.zeros((tri_tab0.shape[0], 9), jnp.float32)
+        return mat_tab, pl_tab, dl_tab, bg_tab, tri_w
+
+    @jax.custom_vjp
+    def render(mat_tab, pl_tab, dl_tab, bg_tab, tri_w, o, d):
+        tri_tab = jnp.concatenate([tri_w, tri_rest], axis=1)
+        outs, n_rows = _bwd_call(bc_f, tri_tab, chunk_tab, mat_tab, pl_tab,
+                                 dl_tab, bg_tab, o, d, None, interpret)
+        r = o.shape[0]
+        return jnp.stack([x.reshape(-1)[:r] for x in outs[:3]], axis=-1)
+
+    def render_fwd(mat_tab, pl_tab, dl_tab, bg_tab, tri_w, o, d):
+        out = render(mat_tab, pl_tab, dl_tab, bg_tab, tri_w, o, d)
+        return out, (mat_tab, pl_tab, dl_tab, bg_tab, tri_w, o, d)
+
+    def render_bwd(res, gbar):
+        mat_tab, pl_tab, dl_tab, bg_tab, tri_w, o, d = res
+        tri_tab = jnp.concatenate([tri_w, tri_rest], axis=1)
+        outs, n_rows = _bwd_call(bc_b, tri_tab, chunk_tab, mat_tab, pl_tab,
+                                 dl_tab, bg_tab, o, d, gbar, interpret)
+        (_, _, _, stream, smalls, box, boy, boz, bdx, bdy, bdz) = outs
+        r = o.shape[0]
+        d_triw, d_mat13 = _reduce_streams(stream, w_items, n_mat, D, r)
+        d_mat = jnp.concatenate([
+            d_mat13[:, 6:9],    # amb
+            d_mat13[:, 0:3],    # kd
+            d_mat13[:, 3:6],    # ks
+            d_mat13[:, 9:12],   # mir
+            d_mat13[:, 12:13],  # phong
+            jnp.zeros((n_mat, 3), jnp.float32),
+        ], axis=1)
+        d_pl = smalls[0, : 3 * max(P, 1)].reshape(-1, 3)[:max(P, 1)]
+        if not P:
+            d_pl = jnp.zeros((1, 3), jnp.float32)
+        d_dl = smalls[1, : 3 * max(Pd, 1)].reshape(-1, 3)[:max(Pd, 1)]
+        if not Pd:
+            d_dl = jnp.zeros((1, 3), jnp.float32)
+        d_bg = smalls[2, :3].reshape(1, 3)
+        d_o = jnp.stack([x.reshape(-1)[:r] for x in (box, boy, boz)], axis=-1)
+        d_d = jnp.stack([x.reshape(-1)[:r] for x in (bdx, bdy, bdz)], axis=-1)
+        return d_mat, d_pl, d_dl, d_bg, d_triw, d_o, d_d
+
+    render.defvjp(render_fwd, render_bwd)
+
+    def f(params, o, d):
+        mat_tab, pl_tab, dl_tab, bg_tab, tri_w = tables(params)
+        return render(mat_tab, pl_tab, dl_tab, bg_tab, tri_w, o, d)
+
+    return f

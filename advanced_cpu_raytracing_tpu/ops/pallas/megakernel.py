@@ -24,21 +24,26 @@ This kernel keeps everything on-chip instead:
     tables (IsInShadow, raytracer.cpp:567-583).
 
 Eligibility is static per scene (see `mega_eligible`) and now covers the
-reference's whole feature set except textures and environment lights:
-Whitted AND path tracing (diffuse or specular, any RendererParams
-permutation), all material types incl. the five pluggable BRDF models with
-static per-material parameters, point/directional/spot/area/mesh lights,
-emissive surfaces, motion blur, glossy roughness, DoF, stratified
-multisampling, and procedural Perlin textures (diffuse/specular/bump on
-untransformed meshes — the 512-entry permutation table is gathered with
-Mosaic's lane-wise `take_along_axis(axis=1)`, four perm rows masked by the
-row index; the 12 gradient vectors are derived arithmetically from the
-hash so no second table is needed).  Randomness comes from the on-chip
-PRNG (pltpu.prng_random_bits; a host jax.random table in interpret mode,
-where pltpu.prng has no lowering).  Image-textured and env-lit scenes —
-arbitrary-size per-lane gathers, which Mosaic cannot express (sublane
-axis-0 gathers are unsupported) — and reverse-mode AD fall back to the
-jnp wavefront in render/integrator.py.
+reference's whole feature set except environment lights: Whitted AND path
+tracing (diffuse or specular, any RendererParams permutation), all material
+types incl. the five pluggable BRDF models with static per-material
+parameters, point/directional/spot/area/mesh lights, emissive surfaces,
+motion blur, glossy roughness, DoF, stratified multisampling, procedural
+Perlin textures (diffuse/specular/bump on untransformed meshes — the
+512-entry permutation table is gathered with Mosaic's lane-wise
+`take_along_axis(axis=1)`, four perm rows masked by the row index; the 12
+gradient vectors are derived arithmetically from the hash so no second
+table is needed), and LDR image textures up to 16k texels per image
+(diffuse/specular decal modes: RGB packed one-f32-per-texel into a row
+table fetched by the same row-masked lane gather — nearest and bilinear,
+with UV tiling; per-face vertex UVs ride extra tri-table columns and the
+trace fold carries the winner's barycentrics).  Randomness comes from the
+on-chip PRNG (pltpu.prng_random_bits; a host jax.random table in interpret
+mode, where pltpu.prng has no lowering).  Env-lit scenes (megapixel HDR
+gathers), HDR/megapixel image textures, normal-map/replace_all decals and
+image bump maps fall back to the jnp wavefront in render/integrator.py;
+reverse-mode AD routes to ops/pallas/megabwd.py when eligible, else the
+jnp wavefront.
 
 Semantics are a transcription of render/integrator.py (same reference quirks:
 2pi emissive factor, shadow epsilon offsets along the shading normal, the

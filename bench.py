@@ -38,7 +38,10 @@ def main_bwd() -> None:
     material colors, light intensities and vertex positions.  The reference
     has no backward pass at all, so vs_baseline compares against its FORWARD
     CPU rate (1.675 Mpaths/s) — the honest statement being "a full fwd+bwd
-    step costs this much vs the reference's fwd-only render"."""
+    step costs this much vs the reference's fwd-only render".
+
+    Routes through the fused fwd+bwd Pallas kernel (ops/pallas/megabwd.py)
+    when the scene is eligible; --bwd-jnp forces the jnp wavefront."""
     import jax
     import jax.numpy as jnp
 
@@ -46,11 +49,19 @@ def main_bwd() -> None:
         extract_params,
         inject_params,
     )
+    from advanced_cpu_raytracing_tpu.ops.pallas.megabwd import (
+        bwd_eligible,
+        make_diff_render,
+    )
+    from advanced_cpu_raytracing_tpu.render.camera import generate_rays
     from advanced_cpu_raytracing_tpu.render.integrator import (
         RenderOptions,
         trace_radiance,
     )
-    from advanced_cpu_raytracing_tpu.render.renderer import _camera_cached
+    from advanced_cpu_raytracing_tpu.render.renderer import (
+        _camera_cached,
+        options_for_camera,
+    )
     from advanced_cpu_raytracing_tpu.scene.pack import pack_scene
     from advanced_cpu_raytracing_tpu.scene.xml_parser import load_scene
 
@@ -75,10 +86,23 @@ def main_bwd() -> None:
     py_all = jnp.asarray(ys * (800.0 / h), jnp.float32)
     params = extract_params(pack, ("mat_diffuse", "pl_intensity", "verts"))
 
-    def loss_fn(params, px, py, key):
-        p = inject_params(pack, params)
-        img = trace_radiance(p, cam, px, py, key, opts)
-        return jnp.sum(img ** 2) / float(n)
+    r_opts = options_for_camera(cfg, cfg.cameras[0])
+    use_fused = ("--bwd-jnp" not in sys.argv
+                 and bwd_eligible(pack.static, r_opts, pack)
+                 and jax.default_backend() == "tpu")
+    if use_fused:
+        render = make_diff_render(pack, r_opts)
+
+        def loss_fn(params, px, py, key):
+            o, d = generate_rays(cam, px, py, jnp.zeros((px.shape[0], 2)),
+                                 dof=False)
+            img = render(params, o, d)
+            return jnp.sum(img ** 2) / float(n)
+    else:
+        def loss_fn(params, px, py, key):
+            p = inject_params(pack, params)
+            img = trace_radiance(p, cam, px, py, key, opts)
+            return jnp.sum(img ** 2) / float(n)
 
     step = jax.jit(jax.value_and_grad(loss_fn))
 

@@ -1,0 +1,135 @@
+"""Fused fwd+bwd kernel (ops/pallas/megabwd.py) vs the jnp wavefront.
+
+Oracle: jax.grad of trace_radiance(differentiable=True) — both paths share
+the stop-gradient-on-topology stance, constant tri normals (pack.tri_normal)
+and constant sphere geometry, so gradients must agree to fp tolerance.
+Kernel runs in interpreter mode on CPU.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from advanced_cpu_raytracing_tpu.diff.params import extract_params, inject_params
+from advanced_cpu_raytracing_tpu.ops.pallas.megabwd import (
+    bwd_eligible,
+    make_diff_render,
+)
+from advanced_cpu_raytracing_tpu.render.camera import build_camera, generate_rays
+from advanced_cpu_raytracing_tpu.render.integrator import (
+    RenderOptions,
+    trace_radiance,
+)
+from advanced_cpu_raytracing_tpu.render.renderer import options_for_camera
+from advanced_cpu_raytracing_tpu.scene.pack import pack_scene
+from advanced_cpu_raytracing_tpu.scene.xml_parser import load_scene
+from tests.conftest import HW1_INPUTS
+
+PARAMS = ("mat_ambient", "mat_diffuse", "mat_specular", "mat_mirror",
+          "mat_phong", "pl_intensity", "dl_radiance", "bg_color", "verts")
+
+
+def _setup(name, n=512, seed=3, max_depth=3):
+    """max_depth defaults to 3 on CPU: the interpret-mode bwd kernel is one
+    giant XLA module whose CPU compile grows with the unrolled chain (~15 s
+    at depth 3, tens of minutes at depth 6 on this 2-vCPU host).  Depth 3
+    exercises multi-segment specular chains (sphere -> sphere -> wall);
+    tools/tpu_verify.py --bwd covers the full-depth kernel on real TPU."""
+    import dataclasses
+
+    cfg = load_scene(str(HW1_INPUTS / f"{name}.xml"))
+    pack = pack_scene(cfg)
+    cam_cfg = cfg.cameras[0]
+    cam = build_camera(cam_cfg)
+    opts = options_for_camera(cfg, cam_cfg)
+    if max_depth is not None:
+        opts = dataclasses.replace(
+            opts, max_depth=min(opts.max_depth, max_depth))
+    assert bwd_eligible(pack.static, opts, pack), name
+    rng = np.random.default_rng(seed)
+    px = jnp.asarray(rng.uniform(0, cam_cfg.width, n).astype(np.float32))
+    py = jnp.asarray(rng.uniform(0, cam_cfg.height, n).astype(np.float32))
+    o, d = generate_rays(cam, px, py, jnp.zeros((n, 2)), dof=False)
+    d_opts = RenderOptions(max_depth=opts.max_depth, differentiable=True,
+                           max_iters=opts.max_depth + 2)
+    return cfg, pack, cam, opts, d_opts, px, py, o, d
+
+
+def _oracle_loss(pack, cam, d_opts, px, py):
+    def loss(params):
+        p = inject_params(pack, params)
+        img = trace_radiance(p, cam, px, py, jax.random.PRNGKey(0), d_opts)
+        return jnp.sum(img * jnp.cos(0.01 * img))  # non-trivial cotangent
+    return loss
+
+
+def _kernel_loss(pack, opts, o, d):
+    f = make_diff_render(pack, opts, interpret=True)
+
+    def loss(params):
+        img = f(params, o, d)
+        return jnp.sum(img * jnp.cos(0.01 * img))
+    return loss
+
+
+@pytest.mark.parametrize("scene", [
+    "simple",
+    "cornellbox_recursive_conductors",
+    pytest.param(
+        "spheres_mirror",
+        marks=pytest.mark.skipif(
+            not __import__("os").environ.get("ACRT_FULL_GOLDENS"),
+            reason="5-sphere mirror chain: XLA CPU takes ~10 min to compile "
+                   "the interpret-mode reverse sweep; ACRT_FULL_GOLDENS=1 "
+                   "runs it (TPU Mosaic compiles the same kernel in "
+                   "seconds — tools/tpu_verify.py --bwd)")),
+])
+def test_megabwd_value_and_grads_match_wavefront(scene):
+    depth = 2 if scene == "spheres_mirror" else 3
+    cfg, pack, cam, opts, d_opts, px, py, o, d = _setup(
+        scene, n=256, max_depth=depth)
+    params = extract_params(pack, PARAMS)
+
+    l_oracle = _oracle_loss(pack, cam, d_opts, px, py)
+    l_kernel = _kernel_loss(pack, opts, o, d)
+
+    v0, g0 = jax.value_and_grad(l_oracle)(params)
+    v1, g1 = jax.value_and_grad(l_kernel)(params)
+
+    np.testing.assert_allclose(float(v1), float(v0), rtol=2e-4)
+    for k in PARAMS:
+        a, b = np.asarray(g0[k]), np.asarray(g1[k])
+        if a.size == 0:
+            continue
+        assert np.all(np.isfinite(b)), k
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(
+            b, a, rtol=5e-3, atol=5e-4 * scale,
+            err_msg=f"{scene}:{k}")
+
+
+def test_megabwd_forward_matches_wavefront():
+    """Primal (fwd-only kernel) equals the non-diff wavefront radiance."""
+    _, pack, cam, opts, d_opts, px, py, o, d = _setup("cornellbox_recursive_conductors", n=1024)
+    f = make_diff_render(pack, opts, interpret=True)
+    img_k = f(extract_params(pack, PARAMS), o, d)
+    img_j = trace_radiance(pack, cam, px, py, jax.random.PRNGKey(0), d_opts)
+    np.testing.assert_allclose(np.asarray(img_k), np.asarray(img_j),
+                               rtol=2e-4, atol=2e-3)
+
+
+def test_megabwd_eligibility_gates():
+    """Scenes outside the envelope must not route to the fused bwd kernel."""
+    cfg = load_scene(str(HW1_INPUTS / "cornellbox_recursive_alt2.xml"))
+    pack = pack_scene(cfg)  # dielectric -> stack, not a chain
+    opts = options_for_camera(cfg, cfg.cameras[0])
+    assert not bwd_eligible(pack.static, opts, pack)
+
+    cfg2 = load_scene(str(HW1_INPUTS / "simple.xml"))
+    pack2 = pack_scene(cfg2)
+    opts2 = options_for_camera(cfg2, cfg2.cameras[0])
+    assert bwd_eligible(pack2.static, opts2, pack2)
+    import dataclasses
+    pt = dataclasses.replace(opts2, path_tracing=True)
+    assert not bwd_eligible(pack2.static, pt, pack2)

@@ -2,7 +2,7 @@
 through the production path (the fused megakernel routes automatically on
 TPU), diff against the best available oracle, and print wall-clocks.
 
-Usage: python tools/tpu_verify.py [--contrib] [--pt] [--perlin]
+Usage: python tools/tpu_verify.py [--contrib] [--pt] [--perlin] [--bwd]
 Run alone — one TPU process at a time in this environment (see
 .claude/skills/verify/SKILL.md).
 
@@ -83,6 +83,81 @@ def main() -> int:
             else:
                 print(f"{stem}: mega={routed} {dt:.3f}s (no oracle)",
                       flush=True)
+
+    if "--bwd" in sys.argv:
+        # compiled fused fwd+bwd kernel (ops/pallas/megabwd.py) at FULL
+        # depth vs jax.grad of the jnp wavefront (the CPU test tier stops at
+        # depth 3: the interpret-mode module's XLA CPU compile blows up)
+        import time as _time
+
+        import jax
+        import jax.numpy as jnp
+
+        from advanced_cpu_raytracing_tpu.diff.params import (
+            extract_params,
+            inject_params,
+        )
+        from advanced_cpu_raytracing_tpu.ops.pallas.megabwd import (
+            bwd_eligible,
+            make_diff_render,
+        )
+        from advanced_cpu_raytracing_tpu.render.camera import (
+            build_camera,
+            generate_rays,
+        )
+        from advanced_cpu_raytracing_tpu.render.integrator import (
+            RenderOptions,
+            trace_radiance,
+        )
+
+        scene = INPUTS / "cornellbox_recursive_conductors.xml"
+        cfg = load_scene(str(scene))
+        pack = pack_scene(cfg)
+        cam = build_camera(cfg.cameras[0])
+        opts = options_for_camera(cfg, cfg.cameras[0])
+        assert bwd_eligible(pack.static, opts, pack)
+        nrays = 8192
+        rng = np.random.default_rng(0)
+        px = jnp.asarray(rng.uniform(0, 800, nrays).astype(np.float32))
+        py = jnp.asarray(rng.uniform(0, 800, nrays).astype(np.float32))
+        o, d = generate_rays(cam, px, py, jnp.zeros((nrays, 2)), dof=False)
+        keys = ("mat_ambient", "mat_diffuse", "mat_specular", "mat_mirror",
+                "mat_phong", "pl_intensity", "bg_color", "verts")
+        params = extract_params(pack, keys)
+        render = make_diff_render(pack, opts)
+
+        def loss_k(p):
+            return jnp.sum(jnp.asarray(render(p, o, d)) ** 2)
+
+        d_opts = RenderOptions(max_depth=opts.max_depth, differentiable=True,
+                               max_iters=opts.max_depth + 2)
+
+        def loss_j(p):
+            img = trace_radiance(inject_params(pack, p), cam, px, py,
+                                 jax.random.PRNGKey(0), d_opts)
+            return jnp.sum(img ** 2)
+
+        t0 = _time.perf_counter()
+        vk, gk = jax.jit(jax.value_and_grad(loss_k))(params)
+        jax.block_until_ready(gk)
+        print(f"megabwd: kernel compile+run {_time.perf_counter()-t0:.1f}s",
+              flush=True)
+        t0 = _time.perf_counter()
+        vj, gj = jax.jit(jax.value_and_grad(loss_j))(params)
+        jax.block_until_ready(gj)
+        print(f"megabwd: jnp oracle compile+run {_time.perf_counter()-t0:.1f}s",
+              flush=True)
+        print(f"megabwd: value kernel={float(vk):.6g} jnp={float(vj):.6g}",
+              flush=True)
+        for k in keys:
+            a = np.asarray(gj[k]).reshape(-1)
+            b = np.asarray(gk[k]).reshape(-1)
+            if a.size == 0:
+                continue
+            scale = max(np.abs(a).max(), 1e-20)
+            rel = np.abs(b - a).max() / scale
+            print(f"megabwd: d{k}: max-rel-diff {rel:.2e}", flush=True)
+        return 0
 
     if "--perlin" in sys.argv:
         # authored mesh-perlin scene: compiled-mode perm-table gathers vs the
