@@ -133,3 +133,30 @@ def test_megabwd_eligibility_gates():
     import dataclasses
     pt = dataclasses.replace(opts2, path_tracing=True)
     assert not bwd_eligible(pack2.static, pt, pack2)
+
+
+def test_megabwd_optimize_routing():
+    """diff/optimize.py routes through the fused kernel (use_fused=True,
+    interpret mode here) and still reduces the loss — the traced-parameter
+    tables make every Adam step reuse one executable."""
+    import dataclasses
+
+    from advanced_cpu_raytracing_tpu.diff.optimize import optimize
+
+    cfg = load_scene(str(HW1_INPUTS / "simple.xml"))
+    pack = pack_scene(cfg)
+    cam_cfg = cfg.cameras[0]
+    cam = build_camera(cam_cfg)
+    opts = dataclasses.replace(
+        options_for_camera(cfg, cam_cfg), max_depth=1)
+    px = jnp.asarray(np.linspace(350, 450, 16, dtype=np.float32))
+    py = jnp.asarray(np.full(16, 420, np.float32))
+    f = make_diff_render(pack, opts, interpret=True)
+    o, d = generate_rays(cam, px, py, jnp.zeros((16, 2)), dof=False)
+    target = f(extract_params(pack, ("mat_diffuse",)), o, d)
+
+    wrong = __import__("dataclasses").replace(
+        pack, mat_diffuse=pack.mat_diffuse * 0.4)
+    _, hist = optimize(wrong, cam, px, py, opts, target,
+                       ("mat_diffuse",), steps=10, lr=0.08, use_fused=True)
+    assert hist[-1] < hist[0] * 0.35, hist
