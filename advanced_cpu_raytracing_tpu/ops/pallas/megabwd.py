@@ -35,13 +35,28 @@ megakernel bakes them as constants — fine for rendering, a recompile per
 optimizer step for training), so optimization loops reuse one executable.
 
 Eligibility (``bwd_eligible``): Whitted only (no PT), mirror/conductor
-chains (no dielectric stack), point/directional lights + ambient, no
-textures / env / motion / roughness / custom BRDFs / emissives; the same
+chains, dielectric chains (stochastic single-path, below), point /
+directional / spot / area lights + ambient, emissive-material hits; no
+textures / env / mesh lights / motion / roughness / custom BRDFs; the same
 VMEM face budget as the megakernel, table rows <= _BWD_MAX_ROWS so the
 epilogue one-hot stays small.  Everything else falls back to the jnp
 wavefront.  Reference behavior covered: raytracer.cpp:65-134 (PerformShading
-dispatch), 208-254 (conductor Fresnel), 442-472 (mirror), 540-554
-(GetDiffuse/GetSpecular), 701-806 (direct lighting), 567-583 (IsInShadow).
+dispatch), 81-84 (emissive hit), 208-254 (conductor Fresnel), 261-415
+(dielectric Fresnel + Beer), 442-472 (mirror), 540-554
+(GetDiffuse/GetSpecular), 701-806 (direct lighting incl. spot
+spotLight.h:33-57 and area areaLight.h:34-41), 567-583 (IsInShadow).
+
+Stochastic choices stay a LINEAR chain: dielectric hits sample ONE child
+(reflect with probability r_refl, else refract — the Fresnel weight cancels
+against the selection probability, integrator.py stochastic_dielectric), so
+the unrolled-segment structure survives and iterations stay O(depth), not
+O(2^depth).  Area-light sample offsets and the dielectric branch uniforms
+are INPUTS produced by ``wavefront_rng`` — which replays trace_radiance's
+exact key-split schedule — so kernel and jnp-wavefront oracle make
+identical per-lane stochastic decisions and gradients match lane-for-lane
+(tests/test_megabwd.py).  Beer's law ``exp(-c*t)`` runs inside the
+differentiable step (t is differentiable; the absorption constant and
+medium tracking are stop-grad facts from the forward sweep).
 """
 
 from __future__ import annotations
@@ -64,12 +79,20 @@ CHUNK = 128
 
 _MIRROR = int(MaterialType.MIRROR)
 _CONDUCTOR = int(MaterialType.CONDUCTOR)
+_DIELECTRIC = int(MaterialType.DIELECTRIC)
+_EMISSIVE = int(MaterialType.EMISSIVE)
 _DEFAULT = int(MaterialType.DEFAULT)
+TWO_PI = float(2.0 * np.pi)
 
 # Stream layout per depth (per-lane f32 planes written to HBM):
 #   0 row | 1 matf | 2:11 dv0/dv1/dv2 | 11:14 dkd | 14:17 dks | 17:20 damb
-#   | 20:23 dmir | 23 dphong
-_C = 24
+#   | 20:23 dmir | 23 dphong | 24:27 drad
+#   | per mesh light i: 27+10i sampled row | 28+10i:37+10i d(light-face v9)
+_C_BASE = 27
+
+
+def _c_of(bc) -> int:
+    return _C_BASE + 10 * len(bc.mlights)
 # epilogue one-hot sizes: tri-table rows and materials
 _BWD_MAX_ROWS = 4096
 _BWD_MAX_MATS = 32
@@ -84,34 +107,41 @@ class BwdConsts:
     n_mat: int
     mat_types: tuple  # per material: MaterialType int
     cond_nk: tuple  # per material: (ior, absorption_index) — not params
+    diel_abs: tuple  # per material: Beer absorption 3-vector — not a param
     spheres: tuple  # (minv12, nrm9, center3, radius, mat) — packed constants
     pl_pos: tuple  # ((3,),)*P — positions are not params
     dl_wi: tuple  # unit vector TOWARD each directional light
+    spots: tuple  # (pos3, dir3, cos_half_cov, cos_half_fall, cov°, fall°)
+    areas: tuple  # (pos3, u3, v3, normal3, extent, area)
+    mlights: tuple  # per mesh light: ((tri-table row, area weight), ...)
     ambient: tuple  # ambient LIGHT (const; mat_ambient is the param)
     eps: float
     max_depth: int
     has_mirror: bool
     has_conductor: bool
+    has_dielectric: bool
+    has_emissive: bool
     with_bwd: bool
 
 
 def bwd_eligible(static, opts, pack=None) -> bool:
     """Static gate for the fused fwd+bwd kernel (see module docstring)."""
+    ml_ok = static.n_mesh_lights == 0 or (
+        pack is not None and static.n_mesh_lights <= 2
+        and int(np.asarray(pack.ml_face_count).max()) <= 32)
     return (
         not opts.path_tracing
         and opts.max_depth <= 8
         and static.n_textures == 0
         and static.n_env == 0
-        and static.n_area == 0
-        and static.n_spot == 0
-        and static.n_mesh_lights == 0
+        and ml_ok
         and not static.has_motion
         and not static.has_rough
-        and not static.has_dielectric
-        and not static.has_emissive_mat
         and getattr(static, "n_brdfs", 0) == 0
         and static.n_point <= 4
         and static.n_directional <= 4
+        and static.n_area <= 2
+        and static.n_spot <= 2
         and static.n_spheres <= 8
         and static.n_materials <= _BWD_MAX_MATS
         and (static.n_faces == 0 or
@@ -142,17 +172,98 @@ def build_bwd_consts(pack, opts, with_bwd: bool) -> BwdConsts:
         (float(np.asarray(pack.mat_ior)[i]),
          float(np.asarray(pack.mat_cond_k)[i]))
         for i in range(st.n_materials))
+    diel_abs = tuple(tup(np.asarray(pack.mat_absorption)[i])
+                     for i in range(st.n_materials))
+    spots = tuple(
+        (tup(np.asarray(pack.sl_pos)[i]), tup(np.asarray(pack.sl_dir)[i]),
+         float(np.asarray(pack.sl_cos_half_cov)[i]),
+         float(np.asarray(pack.sl_cos_half_fall)[i]),
+         float(np.asarray(pack.sl_coverage_deg)[i]),
+         float(np.asarray(pack.sl_falloff_deg)[i]))
+        for i in range(st.n_spot))
+    areas = tuple(
+        (tup(np.asarray(pack.al_pos)[i]), tup(np.asarray(pack.al_u)[i]),
+         tup(np.asarray(pack.al_v)[i]), tup(np.asarray(pack.al_normal)[i]),
+         float(np.asarray(pack.al_extent)[i]),
+         float(np.asarray(pack.al_area)[i]))
+        for i in range(st.n_area))
+    # mesh lights: (tri-table row, faceArea/surfaceArea) per face, so the
+    # sampled-point gather unrolls over static rows (meshLight.h:27-50,
+    # lights.py:139-165; same encoding as megakernel.py build_mega)
+    mlights = []
+    if st.n_mesh_lights and st.n_work_items:
+        wi_ent_np = np.asarray(pack.wi_ent)[:st.n_work_items]
+        wi_face_np = np.asarray(pack.wi_face)[:st.n_work_items]
+        tri_area_np = np.asarray(pack.tri_area)
+        for i in range(st.n_mesh_lights):
+            ent = int(np.asarray(pack.ml_ent)[i])
+            area = float(np.asarray(pack.ml_area)[i])
+            rows = np.where(wi_ent_np == ent)[0]
+            mlights.append(tuple(
+                (int(rw), float(tri_area_np[wi_face_np[rw]]
+                                / max(area, 1e-20)))
+                for rw in rows))
     return BwdConsts(
         n_tri=st.n_work_items, n_mat=st.n_materials, mat_types=mat_types,
-        cond_nk=cond_nk, spheres=spheres,
+        cond_nk=cond_nk, diel_abs=diel_abs, spheres=spheres,
         pl_pos=tuple(tup(np.asarray(pack.pl_pos)[i])
                      for i in range(st.n_point)),
-        dl_wi=tuple(dl_wi), ambient=tup(pack.ambient_light),
+        dl_wi=tuple(dl_wi), spots=spots, areas=areas,
+        mlights=tuple(mlights),
+        ambient=tup(pack.ambient_light),
         eps=float(np.asarray(pack.shadow_eps)),
         max_depth=int(opts.max_depth),
         has_mirror=st.has_mirror, has_conductor=st.has_conductor,
+        has_dielectric=st.has_dielectric, has_emissive=st.has_emissive_mat,
         with_bwd=with_bwd,
     )
+
+
+def wavefront_rng(key, r: int, D: int, n_area: int, need_diel: bool,
+                  ml_counts: tuple = ()):
+    """Replay trace_radiance's key-split schedule so the kernel consumes
+    the SAME area-light offsets, mesh-light face picks + barycentric
+    uniforms, and dielectric branch uniforms as the jnp wavefront with the
+    same top-level key.
+
+    Schedule transcribed from integrator.py: trace_radiance splits
+    (key -> k_time, k_lens, k_loop); each loop iteration splits
+    (key -> key, k_it) then _process_hit splits k_it 9 ways; area light i
+    chains splits off k_dl (lights.py:86), mesh light i splits 3 ways
+    (lights.py:141), and the stochastic-dielectric choice draws from k_rl
+    (integrator.py:402).  A linear specular chain pops segment k at loop
+    iteration k, so plane k here lines up with the oracle's iteration k.
+
+    Returns (uab (D*n_area*2, r), uml (D*n_ml*3, r), ud (D or 0, r)) f32;
+    uml planes per (segment, light) are [fsel (float of int), r12a, r12b].
+    """
+    key, _k_time, _k_lens, k_loop = jax.random.split(key, 4)
+    offs, mls, uds = [], [], []
+    k = k_loop
+    for _ in range(D):
+        k, k_it = jax.random.split(k)
+        (_, _k_gi, _k_rr, k_dl, _k_m, _k_c, _k_t, k_rl,
+         _k_rf) = jax.random.split(k_it, 9)
+        kk = k_dl
+        for _i in range(n_area):
+            kk, sub = jax.random.split(kk)
+            o2 = jax.random.uniform(sub, (r, 2), minval=-0.5, maxval=0.5)
+            offs.append(o2[:, 0])
+            offs.append(o2[:, 1])
+        for count in ml_counts:
+            kk, k1, k2 = jax.random.split(kk, 3)
+            fsel = jax.random.randint(k1, (r,), 0, max(count, 1))
+            r12 = jax.random.uniform(k2, (r, 2))
+            mls.append(fsel.astype(jnp.float32))
+            mls.append(r12[:, 0])
+            mls.append(r12[:, 1])
+        if need_diel:
+            uds.append(jax.random.uniform(k_rl, (r,)))
+    uab = (jnp.stack(offs) if offs else jnp.zeros((0, r), jnp.float32))
+    uml = (jnp.stack(mls) if mls else jnp.zeros((0, r), jnp.float32))
+    ud = (jnp.stack(uds) if uds else jnp.zeros((0, r), jnp.float32))
+    return uab.astype(jnp.float32), uml.astype(jnp.float32), \
+        ud.astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -160,10 +271,22 @@ def build_bwd_consts(pack, opts, with_bwd: bool) -> BwdConsts:
 # ---------------------------------------------------------------------------
 
 
-def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-            gx_ref, gy_ref, gz_ref,
-            tri_ref, chunk_ref, mat_ref, pl_ref, dl_ref, bg_ref,
-            *outs, bc: BwdConsts):
+def _kernel(*refs, bc: BwdConsts):
+    (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+     gx_ref, gy_ref, gz_ref,
+     tri_ref, chunk_ref, mat_ref, pl_ref, dl_ref, sl_ref, al_ref, ml_ref,
+     bg_ref) = refs[:18]
+    idx = 18
+    if bc.areas:
+        uab_ref = refs[idx]
+        idx += 1
+    if bc.mlights:
+        uml_ref = refs[idx]
+        idx += 1
+    if bc.has_dielectric:
+        ud_ref = refs[idx]
+        idx += 1
+    outs = refs[idx:]
     if bc.with_bwd:
         (lx_ref, ly_ref, lz_ref, stream_ref, smalls_ref,
          box_ref, boy_ref, boz_ref, bdx_ref, bdy_ref, bdz_ref) = outs
@@ -176,6 +299,8 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     D = bc.max_depth + 1  # chain segments: primary + max_depth reflections
     eps = bc.eps
     P, Pd = len(bc.pl_pos), len(bc.dl_wi)
+    Ps, Pa, Pm = len(bc.spots), len(bc.areas), len(bc.mlights)
+    _C = _c_of(bc)
 
     def norm3(x, y, z):
         inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-20))
@@ -361,6 +486,9 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     def shadow(px, py, pz, vx, vy, vz, limit, gate):
         def body(ti, blocked):
             t, valid = tri_hit(ti, px, py, pz, vx, vy, vz)
+            if bc.has_emissive:
+                # CastShadowRay skips emissive meshes (raytracer.cpp:590-593)
+                valid = valid & (tri_ref[ti, 14] < 0.5)
             return jnp.maximum(
                 blocked, jnp.where(valid & (t < limit), 1.0, 0.0))
 
@@ -383,9 +511,12 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         return m
 
     # ---- traced parameter tables ----
-    mat = mat_ref[:, :]  # (M, 16): amb3 kd3 ks3 mir3 phong
+    mat = mat_ref[:, :]  # (M, 16): amb3 kd3 ks3 mir3 phong rad3
     pl_scal = tuple(pl_ref[i, c] for i in range(P) for c in range(3))
     dl_scal = tuple(dl_ref[i, c] for i in range(Pd) for c in range(3))
+    sl_scal = tuple(sl_ref[i, c] for i in range(Ps) for c in range(3))
+    al_scal = tuple(al_ref[i, c] for i in range(Pa) for c in range(3))
+    ml_scal = tuple(ml_ref[i, c] for i in range(Pm) for c in range(3))
     bg_scal = tuple(bg_ref[0, c] for c in range(3))
 
     def matsel(matf, col):
@@ -408,8 +539,8 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             s_sel = sel_sphere_consts(st["sphf"])
             is_sph = st["sphf"] >= 0.0
 
-        def step(o3, d3, w3, v9, kd3, ks3, amb3, mir3, phong,
-                 pls, dls, bgs):
+        def step(o3, d3, w3, v9, lv9s, kd3, ks3, amb3, mir3, phong, rad3,
+                 pls, dls, sls, als, mls, bgs):
             ox_, oy_, oz_ = o3
             dx_, dy_, dz_ = d3
             wx_, wy_, wz_ = w3
@@ -447,12 +578,29 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             pz = oz_ + t * dz_
             wox, woy, woz = -dx_, -dy_, -dz_
 
+            # Beer's law at pop time (raytracer.cpp:416-423, folded in like
+            # integrator.py:210-212): absorption constant chosen by the
+            # PARENT segment's topology (stop-grad), t differentiable.
+            # Miss lanes have t = 0 -> atten = 1, so this is unconditional.
+            if bc.has_dielectric and k > 0:
+                ab = st["absorb3"]
+                wx_ = wx_ * jnp.exp(-ab[0] * t)
+                wy_ = wy_ * jnp.exp(-ab[1] * t)
+                wz_ = wz_ * jnp.exp(-ab[2] * t)
+
             lr = lg = lb = ZERO
             if k == 0:
                 mp = st["miss_primary"]
                 lr = lr + jnp.where(mp, wx_ * bgs[0], 0.0)
                 lg = lg + jnp.where(mp, wy_ * bgs[1], 0.0)
                 lb = lb + jnp.where(mp, wz_ * bgs[2], 0.0)
+
+            # emissive hit: radiance * 2pi, nothing else (raytracer.cpp:81-84)
+            if bc.has_emissive:
+                em = st["is_em"]
+                lr = lr + jnp.where(em, wx_ * rad3[0] * TWO_PI, 0.0)
+                lg = lg + jnp.where(em, wy_ * rad3[1] * TWO_PI, 0.0)
+                lb = lb + jnp.where(em, wz_ * rad3[2] * TWO_PI, 0.0)
 
             # ambient (raytracer.cpp:98-100)
             if any(a != 0.0 for a in bc.ambient):
@@ -492,8 +640,94 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                 lg = lg + jnp.where(g, wy_ * dls[3 * i + 1] * vy_, 0.0)
                 lb = lb + jnp.where(g, wz_ * dls[3 * i + 2] * vz_, 0.0)
 
-            # --- specular chain child (mirror 442-472, conductor 208-254) ---
-            if k == bc.max_depth or not (bc.has_mirror or bc.has_conductor):
+            # spot lights (raytracer.cpp:767-776, spotLight.h:33-57;
+            # transcribed from lights.py:110-137 — alpha_deg feeds only
+            # comparisons, so no gradient crosses the arccos)
+            for i, sp in enumerate(bc.spots):
+                spos, sdir, chc, chf, cov, fall = sp
+                tlx = spos[0] - px
+                tly = spos[1] - py
+                tlz = spos[2] - pz
+                dist = jnp.sqrt(tlx * tlx + tly * tly + tlz * tlz)
+                inv = 1.0 / jnp.maximum(dist, 1e-20)
+                wix, wiy, wiz = tlx * inv, tly * inv, tlz * inv
+                cos_alpha = jnp.clip(
+                    -(sdir[0] * wix + sdir[1] * wiy + sdir[2] * wiz),
+                    -1.0, 1.0)
+                alpha_deg = jnp.rad2deg(jnp.arccos(cos_alpha))
+                irr = 1.0 / jnp.maximum(dist * dist, 1e-20)
+                s = jnp.maximum(
+                    (cos_alpha - chc) / max(chf - chc, 1e-9), 0.0) ** 4
+                in_falloff = alpha_deg > (fall / 2.0)
+                fac = jnp.where(in_falloff, s, 1.0)
+                outside = (alpha_deg <= 0) | (alpha_deg > cov / 2.0)
+                fac = jnp.where(outside, 0.0, fac)
+                vx_, vy_, vz_ = shade_unit(wix, wiy, wiz)
+                g = lit & st[f"vis_s{i}"]
+                c = irr * fac
+                lr = lr + jnp.where(g, wx_ * sls[3 * i + 0] * c * vx_, 0.0)
+                lg = lg + jnp.where(g, wy_ * sls[3 * i + 1] * c * vy_, 0.0)
+                lb = lb + jnp.where(g, wz_ * sls[3 * i + 2] * c * vz_, 0.0)
+
+            # area lights (raytracer.cpp:720-740, areaLight.h:34-41): the
+            # sampled point is a stop-grad input (wavefront_rng offsets);
+            # irradiance L*A*cos/d^2 stays differentiable through the hit
+            # point, matching lights.py:84-101
+            for i, ar in enumerate(bc.areas):
+                apos, au, av, anrm, ext, area = ar
+                off0, off1 = st[f"aoff{i}"]
+                spx = apos[0] + au[0] * (ext * off0) + av[0] * (ext * off1)
+                spy = apos[1] + au[1] * (ext * off0) + av[1] * (ext * off1)
+                spz = apos[2] + au[2] * (ext * off0) + av[2] * (ext * off1)
+                tlx = spx - px
+                tly = spy - py
+                tlz = spz - pz
+                dist = jnp.sqrt(tlx * tlx + tly * tly + tlz * tlz)
+                inv = 1.0 / jnp.maximum(dist, 1e-20)
+                wix, wiy, wiz = tlx * inv, tly * inv, tlz * inv
+                l_cos = -(anrm[0] * wix + anrm[1] * wiy + anrm[2] * wiz)
+                l_cos = jnp.where(l_cos < 0, -l_cos, l_cos)  # two-sided
+                irr = area * l_cos / jnp.maximum(dist * dist, 1e-20)
+                vx_, vy_, vz_ = shade_unit(wix, wiy, wiz)
+                g = lit & st[f"vis_a{i}"]
+                lr = lr + jnp.where(g, wx_ * als[3 * i + 0] * irr * vx_, 0.0)
+                lg = lg + jnp.where(g, wy_ * als[3 * i + 1] * irr * vy_, 0.0)
+                lb = lb + jnp.where(g, wz_ * als[3 * i + 2] * irr * vz_, 0.0)
+
+            # mesh lights (raytracer.cpp:778-803, meshLight.h:27-50;
+            # lights.py:139-165): sqrt-warped barycentric point on the
+            # sampled face — the face pick and warp uniforms are stop-grad
+            # inputs, the sampled POSITION stays differentiable through the
+            # light mesh's world vertices (lv9s leaves), irradiance =
+            # radiance * (faceArea/surfaceArea) * 2pi with no cosine/d^2
+            for i in range(len(bc.mlights)):
+                a9 = lv9s[i]
+                r12a, r12b = st[f"mlr{i}"]
+                wgt = st[f"mlw{i}"]
+                sq = jnp.sqrt(r12a)
+                qx = a9[3] * (1.0 - r12b) + a9[6] * r12b
+                qy = a9[4] * (1.0 - r12b) + a9[7] * r12b
+                qz = a9[5] * (1.0 - r12b) + a9[8] * r12b
+                spx = a9[0] * (1.0 - sq) + qx * sq
+                spy = a9[1] * (1.0 - sq) + qy * sq
+                spz = a9[2] * (1.0 - sq) + qz * sq
+                tlx = spx - px
+                tly = spy - py
+                tlz = spz - pz
+                dist = jnp.sqrt(tlx * tlx + tly * tly + tlz * tlz)
+                inv = 1.0 / jnp.maximum(dist, 1e-20)
+                wix, wiy, wiz = tlx * inv, tly * inv, tlz * inv
+                irr = wgt * TWO_PI
+                vx_, vy_, vz_ = shade_unit(wix, wiy, wiz)
+                g = lit & st[f"vis_m{i}"]
+                lr = lr + jnp.where(g, wx_ * mls[3 * i + 0] * irr * vx_, 0.0)
+                lg = lg + jnp.where(g, wy_ * mls[3 * i + 1] * irr * vy_, 0.0)
+                lb = lb + jnp.where(g, wz_ * mls[3 * i + 2] * irr * vz_, 0.0)
+
+            # --- specular chain child (mirror 442-472, conductor 208-254,
+            # dielectric 261-415 in single-path mode) ---
+            if k == bc.max_depth or not (bc.has_mirror or bc.has_conductor
+                                         or bc.has_dielectric):
                 z = ZERO
                 return (lr, lg, lb, z, z, z + 1.0, z, z, z + 1.0, z, z, z)
             chain = st["chain"]
@@ -526,15 +760,64 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                 fx = jnp.where(cm, mir3[0] * ratio, fx)
                 fy = jnp.where(cm, mir3[1] * ratio, fy)
                 fz = jnp.where(cm, mir3[2] * ratio, fz)
-            o2x = jnp.where(chain, px + nx * eps, 0.0)
-            o2y = jnp.where(chain, py + ny * eps, 0.0)
-            o2z = jnp.where(chain, pz + nz * eps, 0.0)
-            d2x = jnp.where(chain, rx, 0.0)
-            d2y = jnp.where(chain, ry, 0.0)
-            d2z = jnp.where(chain, rz, 1.0)
-            w2x = jnp.where(chain, wx_ * fx, 0.0)
-            w2y = jnp.where(chain, wy_ * fy, 0.0)
-            w2z = jnp.where(chain, wz_ * fz, 0.0)
+            # mirror/conductor child (origin +n*eps, reflected about n)
+            o2x = px + nx * eps
+            o2y = py + ny * eps
+            o2z = pz + nz * eps
+            d2x, d2y, d2z = rx, ry, rz
+            w2x = wx_ * fx
+            w2y = wy_ * fy
+            w2z = wz_ * fz
+            if bc.has_dielectric:
+                # single-path dielectric: the Fresnel weight cancels against
+                # the branch-selection probability, so both legs carry the
+                # parent's (post-Beer) weight (integrator.py:398-417);
+                # topology (entering sign, branch choice) is stop-grad, the
+                # directions stay differentiable through n and d
+                dr = st["d_reflect"]
+                df = st["d_refract"]
+                sgn = st["d_sign"]  # +1 entering, -1 exiting
+                ratio_n = st["d_ratio"]  # n1/n2 (medium/ior constants)
+                nmx, nmy, nmz = nx * sgn, ny * sgn, nz * sgn
+                cos_i = -(dx_ * nmx + dy_ * nmy + dz_ * nmz)
+                rmx, rmy, rmz = norm3(2.0 * nmx * cos_i + dx_,
+                                      2.0 * nmy * cos_i + dy_,
+                                      2.0 * nmz * cos_i + dz_)
+                crit = ratio_n * ratio_n * (1.0 - cos_i * cos_i)
+                # sqrt'(0)=inf NaN-guard: only refract lanes consume cos_p
+                cos_p = jnp.sqrt(jnp.where(
+                    df, jnp.maximum(1.0 - crit, 1e-20), 1.0))
+                tnx, tny, tnz = norm3(
+                    (dx_ + nmx * cos_i) * ratio_n - nmx * cos_p,
+                    (dy_ + nmy * cos_i) * ratio_n - nmy * cos_p,
+                    (dz_ + nmz * cos_i) * ratio_n - nmz * cos_p)
+                o2x = jnp.where(dr, px + nmx * eps, o2x)
+                o2y = jnp.where(dr, py + nmy * eps, o2y)
+                o2z = jnp.where(dr, pz + nmz * eps, o2z)
+                d2x = jnp.where(dr, rmx, d2x)
+                d2y = jnp.where(dr, rmy, d2y)
+                d2z = jnp.where(dr, rmz, d2z)
+                w2x = jnp.where(dr, wx_, w2x)
+                w2y = jnp.where(dr, wy_, w2y)
+                w2z = jnp.where(dr, wz_, w2z)
+                o2x = jnp.where(df, px - nmx * eps, o2x)
+                o2y = jnp.where(df, py - nmy * eps, o2y)
+                o2z = jnp.where(df, pz - nmz * eps, o2z)
+                d2x = jnp.where(df, tnx, d2x)
+                d2y = jnp.where(df, tny, d2y)
+                d2z = jnp.where(df, tnz, d2z)
+                w2x = jnp.where(df, wx_, w2x)
+                w2y = jnp.where(df, wy_, w2y)
+                w2z = jnp.where(df, wz_, w2z)
+            o2x = jnp.where(chain, o2x, 0.0)
+            o2y = jnp.where(chain, o2y, 0.0)
+            o2z = jnp.where(chain, o2z, 0.0)
+            d2x = jnp.where(chain, d2x, 0.0)
+            d2y = jnp.where(chain, d2y, 0.0)
+            d2z = jnp.where(chain, d2z, 1.0)
+            w2x = jnp.where(chain, w2x, 0.0)
+            w2y = jnp.where(chain, w2y, 0.0)
+            w2z = jnp.where(chain, w2z, 0.0)
             return (lr, lg, lb, o2x, o2y, o2z, d2x, d2y, d2z, w2x, w2y, w2z)
 
         return step
@@ -544,15 +827,29 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     d3 = (dx_ref[:, :], dy_ref[:, :], dz_ref[:, :])
     w3 = (ONE, ONE, ONE)
     active = jnp.ones(shape, jnp.bool_)
+    medium = ONE  # refractive index of the current medium (stop-grad)
+    absorb3 = (ZERO, ZERO, ZERO)  # Beer constant of the popped ray
     Lr = Lg = Lb = ZERO
     segs = []  # (step_fn, leaves) per depth
     for k in range(D):
         st = trace(o3[0], o3[1], o3[2], d3[0], d3[1], d3[2], active)
         hit = st["hit"] & active
         st["hit"] = hit
-        st["lit"] = hit  # no dielectric -> never inside; no emissive
-        st["miss_primary"] = active & ~st["hit"] if k == 0 else FALSE
         matf = st["matf"]
+        st["absorb3"] = absorb3
+        if bc.has_emissive:
+            st["is_em"] = hit & mat_mask(matf, _EMISSIVE)
+            shadeable = hit & ~st["is_em"]
+        else:
+            shadeable = hit
+        if bc.has_dielectric:
+            # travellingInsideAnObject (raytracer.cpp:77-78): no
+            # ambient/direct light while inside
+            inside = medium > 1.00001
+            st["lit"] = shadeable & ~inside
+        else:
+            st["lit"] = shadeable
+        st["miss_primary"] = active & ~hit if k == 0 else FALSE
         # geometric normal incl. sphere winners (one selected-consts solve)
         nx_, ny_, nz_ = st["n_tri"]
         if bc.spheres:
@@ -564,8 +861,11 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             nx_ = jnp.where(is_sph_f, snx, nx_)
             ny_ = jnp.where(is_sph_f, sny, ny_)
             nz_ = jnp.where(is_sph_f, snz, nz_)
-        # chain children (topology): mirror/conductor with depth left
-        if k < bc.max_depth and (bc.has_mirror or bc.has_conductor):
+        # chain children (topology): mirror/conductor/dielectric, depth left
+        next_medium = ONE
+        next_absorb = (ZERO, ZERO, ZERO)
+        if k < bc.max_depth and (bc.has_mirror or bc.has_conductor
+                                 or bc.has_dielectric):
             chain = FALSE
             if bc.has_mirror:
                 st["is_mirror"] = hit & mat_mask(matf, _MIRROR)
@@ -591,6 +891,61 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                 st["is_cond"] = (hit & mat_mask(matf, _CONDUCTOR)
                                  & (ratio_g > 1e-4))
                 chain = chain | st["is_cond"]
+            if bc.has_dielectric:
+                # topology of the single-path dielectric bounce
+                # (integrator.py:354-417): entering sign, TIR, and the
+                # reflect-vs-refract draw; all Fresnel VALUES are either
+                # recomputed differentiably in the step (directions) or
+                # cancel against the selection probability (weights)
+                is_diel = hit & mat_mask(matf, _DIELECTRIC)
+                cos0 = -(nx_ * d3[0] + ny_ * d3[1] + nz_ * d3[2])
+                entering = cos0 > 0.0
+                ior = ONE
+                for i, (ior_i, _k_i) in enumerate(bc.cond_nk):
+                    ior = jnp.where(matf == float(i), ior_i, ior)
+                ab_sel = [ZERO, ZERO, ZERO]
+                for i, a3 in enumerate(bc.diel_abs):
+                    sel = matf == float(i)
+                    ab_sel = [jnp.where(sel, a3[c], ab_sel[c])
+                              for c in range(3)]
+                n1 = jnp.where(entering, medium, ior)
+                n2d = jnp.where(entering, ior, 1.0)
+                obj_n = jnp.where(entering, ior, 1.0)
+                ratio_n = n1 / jnp.maximum(n2d, 1e-20)
+                cos_i = jnp.abs(cos0)
+                crit = ratio_n * ratio_n * (1.0 - cos_i * cos_i)
+                tir = crit > 1.0
+                cos_p = jnp.sqrt(jnp.where(tir, 1.0,
+                                           jnp.maximum(1.0 - crit, 1e-20)))
+                cos_p = jnp.where(tir, 0.0, cos_p)
+                n2cos = n2d * cos_i
+                n1cosp = n1 * cos_p
+                rpar = (n2cos - n1cosp) / jnp.maximum(n2cos + n1cosp, 1e-20)
+                rperp = (n1 * cos_i - n2d * cos_p) / jnp.maximum(
+                    n1 * cos_i + n2d * cos_p, 1e-20)
+                r_refl = 0.5 * (rpar * rpar + rperp * rperp)
+                is_tir_c = is_diel & tir
+                is_rl = is_diel & ~tir
+                choose_refl = ud_ref[k, :, :] < r_refl
+                d_reflect = is_tir_c | (is_rl & choose_refl)
+                d_refract = is_rl & ~choose_refl
+                st["d_reflect"] = d_reflect
+                st["d_refract"] = d_refract
+                st["d_sign"] = jnp.where(entering, 1.0, -1.0)
+                st["d_ratio"] = ratio_n
+                chain = chain | d_reflect | d_refract
+                # child medium + Beer constant (thresholds transcribed from
+                # integrator.py:377-378, 410-411, 396: TIR copies the
+                # medium, partial legs take objN)
+                next_medium = jnp.where(is_tir_c, medium, next_medium)
+                next_medium = jnp.where(is_rl, obj_n, next_medium)
+                tir_abs = is_tir_c & (medium > 1.0001)
+                refl_abs = is_rl & choose_refl & (obj_n > 1.00001)
+                refr_abs = is_rl & ~choose_refl & (obj_n > 1.001)
+                take = tir_abs | refl_abs | refr_abs
+                next_absorb = tuple(
+                    jnp.where(take, ab_sel[c], next_absorb[c])
+                    for c in range(3))
             st["chain"] = chain
         else:
             st["chain"] = FALSE
@@ -604,22 +959,71 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         sox = px + nx_ * eps
         soy = py + ny_ * eps
         soz = pz + nz_ * eps
-        for i, lp in enumerate(bc.pl_pos):
-            tlx = lp[0] - px
-            tly = lp[1] - py
-            tlz = lp[2] - pz
+
+        def shadow_towards(tx, ty, tz, gate):
+            tlx = tx - px
+            tly = ty - py
+            tlz = tz - pz
             dist = jnp.sqrt(jnp.maximum(
                 tlx * tlx + tly * tly + tlz * tlz, 1e-20))
             inv = 1.0 / dist
-            blocked = shadow(sox, soy, soz, tlx * inv, tly * inv, tlz * inv,
-                             dist, st["lit"])
-            st[f"vis_p{i}"] = ~blocked
+            return shadow(sox, soy, soz, tlx * inv, tly * inv, tlz * inv,
+                          dist, gate)
+
+        for i, lp in enumerate(bc.pl_pos):
+            st[f"vis_p{i}"] = ~shadow_towards(lp[0], lp[1], lp[2], st["lit"])
         for i, wi in enumerate(bc.dl_wi):
             blocked = shadow(sox, soy, soz,
                              jnp.full(shape, wi[0]), jnp.full(shape, wi[1]),
                              jnp.full(shape, wi[2]), jnp.full(shape, BIG),
                              st["lit"])
             st[f"vis_d{i}"] = ~blocked
+        for i, sp in enumerate(bc.spots):
+            spos = sp[0]
+            st[f"vis_s{i}"] = ~shadow_towards(spos[0], spos[1], spos[2],
+                                              st["lit"])
+        for i, ar in enumerate(bc.areas):
+            apos, au, av, _anrm, ext, _area = ar
+            base = (k * Pa + i) * 2
+            off0 = uab_ref[base, :, :]
+            off1 = uab_ref[base + 1, :, :]
+            st[f"aoff{i}"] = (off0, off1)
+            spx = apos[0] + au[0] * (ext * off0) + av[0] * (ext * off1)
+            spy = apos[1] + au[1] * (ext * off0) + av[1] * (ext * off1)
+            spz = apos[2] + au[2] * (ext * off0) + av[2] * (ext * off1)
+            st[f"vis_a{i}"] = ~shadow_towards(spx, spy, spz, st["lit"])
+
+        # mesh lights: per-lane gather of the sampled face's world corners
+        # (static row unroll — counts are <= 32 by eligibility); the
+        # gathered planes become vjp LEAVES whose cotangents stream back to
+        # the sampled row, exactly like the winner v9
+        lv9s_k = []
+        for i, faces in enumerate(bc.mlights):
+            base = (k * Pm + i) * 3
+            fsel = uml_ref[base, :, :]
+            r12a = uml_ref[base + 1, :, :]
+            r12b = uml_ref[base + 2, :, :]
+            st[f"mlr{i}"] = (r12a, r12b)
+            a9 = [ZERO] * 9
+            wgt = ZERO
+            lrow = jnp.full(shape, -1.0)
+            for fi, (row, wfac) in enumerate(faces):
+                selm = fsel == float(fi)
+                a9 = [jnp.where(selm, tri_ref[row, j], a9[j])
+                      for j in range(9)]
+                wgt = jnp.where(selm, wfac, wgt)
+                lrow = jnp.where(selm, float(row), lrow)
+            st[f"mlw{i}"] = wgt
+            st[f"mlrow{i}"] = lrow
+            lv9s_k.append(tuple(a9))
+            sq = jnp.sqrt(r12a)
+            qx = a9[3] * (1.0 - r12b) + a9[6] * r12b
+            qy = a9[4] * (1.0 - r12b) + a9[7] * r12b
+            qz = a9[5] * (1.0 - r12b) + a9[8] * r12b
+            st[f"vis_m{i}"] = ~shadow_towards(
+                a9[0] * (1.0 - sq) + qx * sq,
+                a9[1] * (1.0 - sq) + qy * sq,
+                a9[2] * (1.0 - sq) + qz * sq, st["lit"])
 
         # per-lane selected material params (traced leaves for the step)
         kd3 = tuple(matsel(matf, 3 + c) for c in range(3))
@@ -627,11 +1031,13 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         amb3 = tuple(matsel(matf, 0 + c) for c in range(3))
         mir3 = tuple(matsel(matf, 9 + c) for c in range(3))
         phong = matsel(matf, 12)
+        rad3 = tuple(matsel(matf, 13 + c) for c in range(3))
         v9 = tuple(st["v9"])
 
         step = make_step(k, st)
-        leaves = (o3, d3, w3, v9, kd3, ks3, amb3, mir3, phong,
-                  pl_scal, dl_scal, bg_scal)
+        leaves = (o3, d3, w3, v9, tuple(lv9s_k), kd3, ks3, amb3, mir3,
+                  phong, rad3, pl_scal, dl_scal, sl_scal, al_scal, ml_scal,
+                  bg_scal)
         out = step(*leaves)
         Lr = Lr + out[0]
         Lg = Lg + out[1]
@@ -641,6 +1047,8 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         d3 = (out[6], out[7], out[8])
         w3 = (out[9], out[10], out[11])
         active = st["chain"]
+        medium = next_medium
+        absorb3 = next_absorb
 
     lx_ref[:, :] = Lr
     ly_ref[:, :] = Lg
@@ -655,18 +1063,27 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     wbar = (ZERO, ZERO, ZERO)
     pl_bar = [0.0] * (3 * P)
     dl_bar = [0.0] * (3 * Pd)
+    sl_bar = [0.0] * (3 * Ps)
+    al_bar = [0.0] * (3 * Pa)
+    ml_bar = [0.0] * (3 * Pm)
     bg_bar = [0.0] * 3
     for k in reversed(range(D)):
         step, leaves, st = segs[k]
         _, vjp_fn = jax.vjp(lambda *ls: step(*ls), *leaves)
         cots = vjp_fn(tuple(gbar) + tuple(obar) + tuple(dbar) + tuple(wbar))
-        (c_o3, c_d3, c_w3, c_v9, c_kd, c_ks, c_amb, c_mir, c_phong,
-         c_pl, c_dl, c_bg) = cots
+        (c_o3, c_d3, c_w3, c_v9, c_lv9s, c_kd, c_ks, c_amb, c_mir, c_phong,
+         c_rad, c_pl, c_dl, c_sl, c_al, c_ml, c_bg) = cots
         obar, dbar, wbar = c_o3, c_d3, c_w3
         for j in range(3 * P):
             pl_bar[j] = pl_bar[j] + c_pl[j]
         for j in range(3 * Pd):
             dl_bar[j] = dl_bar[j] + c_dl[j]
+        for j in range(3 * Ps):
+            sl_bar[j] = sl_bar[j] + c_sl[j]
+        for j in range(3 * Pa):
+            al_bar[j] = al_bar[j] + c_al[j]
+        for j in range(3 * Pm):
+            ml_bar[j] = ml_bar[j] + c_ml[j]
         for j in range(3):
             bg_bar[j] = bg_bar[j] + c_bg[j]
         base = k * _C
@@ -679,7 +1096,13 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             stream_ref[base + 14 + j, :, :] = c_ks[j]
             stream_ref[base + 17 + j, :, :] = c_amb[j]
             stream_ref[base + 20 + j, :, :] = c_mir[j]
+            stream_ref[base + 24 + j, :, :] = c_rad[j]
         stream_ref[base + 23, :, :] = c_phong
+        for i in range(Pm):
+            stream_ref[base + _C_BASE + 10 * i, :, :] = st[f"mlrow{i}"]
+            for j in range(9):
+                stream_ref[base + _C_BASE + 10 * i + 1 + j, :, :] = \
+                    c_lv9s[i][j]
 
     box_ref[:, :] = obar[0]
     boy_ref[:, :] = obar[1]
@@ -698,6 +1121,12 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         acc = acc + jnp.where((ri == 1) & (ci == j), dl_bar[j], 0.0)
     for j in range(3):
         acc = acc + jnp.where((ri == 2) & (ci == j), bg_bar[j], 0.0)
+    for j in range(3 * Ps):
+        acc = acc + jnp.where((ri == 3) & (ci == j), sl_bar[j], 0.0)
+    for j in range(3 * Pa):
+        acc = acc + jnp.where((ri == 4) & (ci == j), al_bar[j], 0.0)
+    for j in range(3 * Pm):
+        acc = acc + jnp.where((ri == 5) & (ci == j), ml_bar[j], 0.0)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -719,8 +1148,13 @@ def _pad_rows(x, n):
 
 
 def _bwd_call(bc: BwdConsts, tri_tab, chunk_tab, mat_tab, pl_tab, dl_tab,
-              bg_tab, o, d, gbar, interpret: bool):
-    """Invoke the kernel.  gbar=None -> fwd-only variant."""
+              sl_tab, al_tab, ml_tab, bg_tab, uab, uml, ud, o, d, gbar,
+              interpret: bool):
+    """Invoke the kernel.  gbar=None -> fwd-only variant.
+
+    ``uab``/``uml``/``ud`` are the (D*n_area*2, r) / (D*n_ml*3, r) / (D, r)
+    stochastic-input planes from ``wavefront_rng`` (stop-grad); forwarded
+    only when the scene needs them."""
     r = o.shape[0]
     r_pad = ((r + TILE - 1) // TILE) * TILE
     n_rows = r_pad // LANES
@@ -745,15 +1179,29 @@ def _bwd_call(bc: BwdConsts, tri_tab, chunk_tab, mat_tab, pl_tab, dl_tab,
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     D = bc.max_depth + 1
 
+    extra_in = []
+    extra_specs = []
+    for planes in ((uab,) if bc.areas else ()) + (
+            (uml,) if bc.mlights else ()) + (
+            (ud,) if bc.has_dielectric else ()):
+        np_ = planes.shape[0]
+        padded = jnp.pad(planes, ((0, 0), (0, r_pad - r))).reshape(
+            np_, n_rows, LANES)
+        extra_in.append(padded)
+        extra_specs.append(pl.BlockSpec(
+            (np_, ROWS, LANES), lambda i: (0, i, 0),
+            memory_space=pltpu.VMEM))
+
+    C = _c_of(bc)
     out_shape = [jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32)] * 3
     out_specs = [blk] * 3
     if bc.with_bwd:
         out_shape += [
-            jax.ShapeDtypeStruct((D * _C, n_rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((D * C, n_rows, LANES), jnp.float32),
             jax.ShapeDtypeStruct((ROWS, LANES), jnp.float32),
         ] + [jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32)] * 6
         out_specs += [
-            pl.BlockSpec((D * _C, ROWS, LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((D * C, ROWS, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ROWS, LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -762,25 +1210,35 @@ def _bwd_call(bc: BwdConsts, tri_tab, chunk_tab, mat_tab, pl_tab, dl_tab,
     outs = pl.pallas_call(
         functools.partial(_kernel, bc=bc),
         grid=grid,
-        in_specs=[blk] * 9 + [full] * 6,
+        in_specs=[blk] * 9 + [full] * 9 + extra_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(*cols, *gcols, tri_tab, chunk_tab, mat_tab, pl_tab, dl_tab, bg_tab)
+    )(*cols, *gcols, tri_tab, chunk_tab, mat_tab, pl_tab, dl_tab, sl_tab,
+      al_tab, ml_tab, bg_tab, *extra_in)
     return outs, n_rows
 
 
-def _reduce_streams(stream, n_tri: int, n_mat: int, D: int, r: int):
+def _reduce_streams(bc: BwdConsts, stream, n_tri: int, n_mat: int, D: int,
+                    r: int):
     """One-hot matmul reduction of the per-lane cotangent streams.
 
-    stream: (D*_C, n_rows, LANES).  Returns (d_triw (W,9), d_mat (M,13)).
+    stream: (D*C, n_rows, LANES).  Returns (d_triw (W,9), d_mat (M,16)).
     The one-hot contraction runs on the MXU — the TPU replacement for the
-    scatter-add XLA would otherwise serialize."""
-    planes = stream.reshape(D, _C, -1)  # (D, C, R')
+    scatter-add XLA would otherwise serialize.  Mesh-light sampled-face
+    cotangents ride the same row-keyed reduction (extra (row, dv9) pairs)."""
+    C = _c_of(bc)
+    planes = stream.reshape(D, C, -1)  # (D, C, R')
     rows = planes[:, 0, :].reshape(-1)  # (D*R',)
     matf = planes[:, 1, :].reshape(-1)
     dv = planes[:, 2:11, :].transpose(0, 2, 1).reshape(-1, 9)
-    dm = planes[:, 11:24, :].transpose(0, 2, 1).reshape(-1, 13)
+    dm = planes[:, 11:27, :].transpose(0, 2, 1).reshape(-1, 16)
+    for i in range(len(bc.mlights)):
+        base = _C_BASE + 10 * i
+        rows = jnp.concatenate([rows, planes[:, base, :].reshape(-1)])
+        dv = jnp.concatenate([
+            dv, planes[:, base + 1:base + 10, :]
+            .transpose(0, 2, 1).reshape(-1, 9)])
 
     w = max(n_tri, 1)
     # precision=HIGHEST: default TPU matmul truncates f32 operands to bf16,
@@ -826,6 +1284,8 @@ def make_diff_render(pack, opts, interpret: bool = False):
 
     n_mat = st.n_materials
     P, Pd = st.n_point, st.n_directional
+    Ps, Pa, Pm = st.n_spot, st.n_area, st.n_mesh_lights
+    ml_counts = tuple(int(c) for c in np.asarray(pack.ml_face_count)[:Pm])
 
     def tables(params):
         g = lambda f: params.get(f, getattr(pack, f))  # noqa: E731
@@ -833,11 +1293,17 @@ def make_diff_render(pack, opts, interpret: bool = False):
             g("mat_ambient")[:n_mat], g("mat_diffuse")[:n_mat],
             g("mat_specular")[:n_mat], g("mat_mirror")[:n_mat],
             g("mat_phong")[:n_mat, None],
-            jnp.zeros((n_mat, 3), jnp.float32),
+            g("mat_radiance")[:n_mat],
         ], axis=1)
         pl_tab = (g("pl_intensity").reshape(-1, 3)[:P] if P
                   else jnp.zeros((1, 3), jnp.float32))
         dl_tab = (g("dl_radiance").reshape(-1, 3)[:Pd] if Pd
+                  else jnp.zeros((1, 3), jnp.float32))
+        sl_tab = (g("sl_intensity").reshape(-1, 3)[:Ps] if Ps
+                  else jnp.zeros((1, 3), jnp.float32))
+        al_tab = (g("al_radiance").reshape(-1, 3)[:Pa] if Pa
+                  else jnp.zeros((1, 3), jnp.float32))
+        ml_tab = (g("ml_radiance").reshape(-1, 3)[:Pm] if Pm
                   else jnp.zeros((1, 3), jnp.float32))
         bg_tab = g("bg_color").reshape(1, 3)
         verts = g("verts")
@@ -850,51 +1316,72 @@ def make_diff_render(pack, opts, interpret: bool = False):
             tri_w = tri_w.reshape(w_items, 9)
         else:
             tri_w = jnp.zeros((tri_tab0.shape[0], 9), jnp.float32)
-        return mat_tab, pl_tab, dl_tab, bg_tab, tri_w
+        return mat_tab, pl_tab, dl_tab, sl_tab, al_tab, ml_tab, bg_tab, \
+            tri_w
 
     @jax.custom_vjp
-    def render(mat_tab, pl_tab, dl_tab, bg_tab, tri_w, o, d):
+    def render(mat_tab, pl_tab, dl_tab, sl_tab, al_tab, ml_tab, bg_tab,
+               tri_w, o, d, uab, uml, ud):
         tri_tab = jnp.concatenate([tri_w, tri_rest], axis=1)
         outs, n_rows = _bwd_call(bc_f, tri_tab, chunk_tab, mat_tab, pl_tab,
-                                 dl_tab, bg_tab, o, d, None, interpret)
+                                 dl_tab, sl_tab, al_tab, ml_tab, bg_tab,
+                                 uab, uml, ud, o, d, None, interpret)
         r = o.shape[0]
         return jnp.stack([x.reshape(-1)[:r] for x in outs[:3]], axis=-1)
 
-    def render_fwd(mat_tab, pl_tab, dl_tab, bg_tab, tri_w, o, d):
-        out = render(mat_tab, pl_tab, dl_tab, bg_tab, tri_w, o, d)
-        return out, (mat_tab, pl_tab, dl_tab, bg_tab, tri_w, o, d)
+    def render_fwd(mat_tab, pl_tab, dl_tab, sl_tab, al_tab, ml_tab, bg_tab,
+                   tri_w, o, d, uab, uml, ud):
+        out = render(mat_tab, pl_tab, dl_tab, sl_tab, al_tab, ml_tab,
+                     bg_tab, tri_w, o, d, uab, uml, ud)
+        return out, (mat_tab, pl_tab, dl_tab, sl_tab, al_tab, ml_tab,
+                     bg_tab, tri_w, o, d, uab, uml, ud)
 
     def render_bwd(res, gbar):
-        mat_tab, pl_tab, dl_tab, bg_tab, tri_w, o, d = res
+        (mat_tab, pl_tab, dl_tab, sl_tab, al_tab, ml_tab, bg_tab, tri_w,
+         o, d, uab, uml, ud) = res
         tri_tab = jnp.concatenate([tri_w, tri_rest], axis=1)
         outs, n_rows = _bwd_call(bc_b, tri_tab, chunk_tab, mat_tab, pl_tab,
-                                 dl_tab, bg_tab, o, d, gbar, interpret)
+                                 dl_tab, sl_tab, al_tab, ml_tab, bg_tab,
+                                 uab, uml, ud, o, d, gbar, interpret)
         (_, _, _, stream, smalls, box, boy, boz, bdx, bdy, bdz) = outs
         r = o.shape[0]
-        d_triw, d_mat13 = _reduce_streams(stream, w_items, n_mat, D, r)
+        d_triw, d_mat16 = _reduce_streams(bc_b, stream, w_items, n_mat,
+                                          D, r)
         d_mat = jnp.concatenate([
-            d_mat13[:, 6:9],    # amb
-            d_mat13[:, 0:3],    # kd
-            d_mat13[:, 3:6],    # ks
-            d_mat13[:, 9:12],   # mir
-            d_mat13[:, 12:13],  # phong
-            jnp.zeros((n_mat, 3), jnp.float32),
+            d_mat16[:, 6:9],    # amb
+            d_mat16[:, 0:3],    # kd
+            d_mat16[:, 3:6],    # ks
+            d_mat16[:, 9:12],   # mir
+            d_mat16[:, 12:13],  # phong
+            d_mat16[:, 13:16],  # radiance
         ], axis=1)
-        d_pl = smalls[0, : 3 * max(P, 1)].reshape(-1, 3)[:max(P, 1)]
-        if not P:
-            d_pl = jnp.zeros((1, 3), jnp.float32)
-        d_dl = smalls[1, : 3 * max(Pd, 1)].reshape(-1, 3)[:max(Pd, 1)]
-        if not Pd:
-            d_dl = jnp.zeros((1, 3), jnp.float32)
+
+        def small_row(row, count):
+            out = smalls[row, : 3 * max(count, 1)].reshape(-1, 3)
+            return out[:count] if count else jnp.zeros((1, 3), jnp.float32)
+
+        d_pl = small_row(0, P)
+        d_dl = small_row(1, Pd)
         d_bg = smalls[2, :3].reshape(1, 3)
+        d_sl = small_row(3, Ps)
+        d_al = small_row(4, Pa)
+        d_ml = small_row(5, Pm)
         d_o = jnp.stack([x.reshape(-1)[:r] for x in (box, boy, boz)], axis=-1)
         d_d = jnp.stack([x.reshape(-1)[:r] for x in (bdx, bdy, bdz)], axis=-1)
-        return d_mat, d_pl, d_dl, d_bg, d_triw, d_o, d_d
+        return (d_mat, d_pl, d_dl, d_sl, d_al, d_ml, d_bg, d_triw, d_o,
+                d_d, jnp.zeros_like(uab), jnp.zeros_like(uml),
+                jnp.zeros_like(ud))
 
     render.defvjp(render_fwd, render_bwd)
 
-    def f(params, o, d):
-        mat_tab, pl_tab, dl_tab, bg_tab, tri_w = tables(params)
-        return render(mat_tab, pl_tab, dl_tab, bg_tab, tri_w, o, d)
+    def f(params, o, d, key=None):
+        (mat_tab, pl_tab, dl_tab, sl_tab, al_tab, ml_tab, bg_tab,
+         tri_w) = tables(params)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        uab, uml, ud = wavefront_rng(key, o.shape[0], D, Pa,
+                                     st.has_dielectric, ml_counts)
+        return render(mat_tab, pl_tab, dl_tab, sl_tab, al_tab, ml_tab,
+                      bg_tab, tri_w, o, d, uab, uml, ud)
 
     return f

@@ -378,8 +378,13 @@ def _process_hit(pack: ScenePack, opts: RenderOptions, o, d, w_in, absorb,
             tm & (medium > 1.0001)[:, None], mat_abs, refl_absorb)
         refl_medium = jnp.where(is_tir, medium, refl_medium)
 
-        # partial reflection (313-356); both children take objN as medium
-        cos_p = jnp.sqrt(jnp.maximum(1.0 - crit, 0.0))
+        # partial reflection (313-356); both children take objN as medium.
+        # NaN-guard: sqrt'(0) = inf; on TIR lanes (crit >= 1) the argument
+        # clamps to the 0 constant and reverse-mode 0 * inf = NaN would leak
+        # through the masked selects below, so feed sqrt a safe argument on
+        # lanes whose value is discarded anyway.
+        cos_p = jnp.sqrt(jnp.where(tir, 1.0, jnp.maximum(1.0 - crit, 1e-20)))
+        cos_p = jnp.where(tir, 0.0, cos_p)
         n2cos = n2d * cos_i
         n1cosp = n1 * cos_p
         rpar = (n2cos - n1cosp) / jnp.maximum(n2cos + n1cosp, 1e-20)

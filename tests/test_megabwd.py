@@ -120,11 +120,12 @@ def test_megabwd_forward_matches_wavefront():
 
 
 def test_megabwd_eligibility_gates():
-    """Scenes outside the envelope must not route to the fused bwd kernel."""
+    """Scenes outside the envelope must not route to the fused bwd kernel;
+    dielectric scenes are INSIDE it since round 4 (stochastic single-path)."""
     cfg = load_scene(str(HW1_INPUTS / "cornellbox_recursive_alt2.xml"))
-    pack = pack_scene(cfg)  # dielectric -> stack, not a chain
+    pack = pack_scene(cfg)  # dielectric chain, now eligible
     opts = options_for_camera(cfg, cfg.cameras[0])
-    assert not bwd_eligible(pack.static, opts, pack)
+    assert bwd_eligible(pack.static, opts, pack)
 
     cfg2 = load_scene(str(HW1_INPUTS / "simple.xml"))
     pack2 = pack_scene(cfg2)
@@ -133,6 +134,176 @@ def test_megabwd_eligibility_gates():
     import dataclasses
     pt = dataclasses.replace(opts2, path_tracing=True)
     assert not bwd_eligible(pack2.static, pt, pack2)
+    deep = dataclasses.replace(opts2, max_depth=9)
+    assert not bwd_eligible(pack2.static, deep, pack2)
+    # textured scenes stay on the wavefront
+    st_tex = dataclasses.replace(pack2.static, n_textures=1)
+    assert not bwd_eligible(st_tex, opts2, pack2)
+
+
+def test_megabwd_dielectric_matches_stochastic_wavefront():
+    """Dielectric chains (alt2 cornell: dielectric + conductor spheres,
+    Beer absorption, TIR) through the fused kernel vs the stochastic
+    single-path wavefront (integrator.py stochastic_dielectric).  Both
+    consume the SAME branch uniforms — wavefront_rng replays the oracle's
+    key-split schedule — so values and grads match lane-for-lane."""
+    import dataclasses
+
+    cfg = load_scene(str(HW1_INPUTS / "cornellbox_recursive_alt2.xml"))
+    pack = pack_scene(cfg)
+    cam_cfg = cfg.cameras[0]
+    cam = build_camera(cam_cfg)
+    opts = dataclasses.replace(options_for_camera(cfg, cam_cfg), max_depth=3)
+    assert bwd_eligible(pack.static, opts, pack)
+    n = 256
+    rng = np.random.default_rng(3)
+    px = jnp.asarray(rng.uniform(0, cam_cfg.width, n).astype(np.float32))
+    py = jnp.asarray(rng.uniform(0, cam_cfg.height, n).astype(np.float32))
+    o, d = generate_rays(cam, px, py, jnp.zeros((n, 2)), dof=False)
+    d_opts = RenderOptions(max_depth=3, differentiable=True, max_iters=5,
+                           stochastic_dielectric=True)
+    params = extract_params(pack, PARAMS)
+    f = make_diff_render(pack, opts, interpret=True)
+
+    def loss_k(p):
+        img = f(p, o, d)
+        return jnp.sum(img * jnp.cos(0.01 * img))
+
+    def loss_j(p):
+        img = trace_radiance(inject_params(pack, p), cam, px, py,
+                             jax.random.PRNGKey(0), d_opts)
+        return jnp.sum(img * jnp.cos(0.01 * img))
+
+    v0, g0 = jax.value_and_grad(loss_j)(params)
+    v1, g1 = jax.value_and_grad(loss_k)(params)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=2e-4)
+    for k in PARAMS:
+        a, b = np.asarray(g0[k]), np.asarray(g1[k])
+        if a.size == 0:
+            continue
+        assert np.all(np.isfinite(b)), k
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, rtol=5e-3, atol=5e-4 * scale,
+                                   err_msg=k)
+    # the dielectric actually contributes: vertex grads exist on its mesh
+    assert np.abs(np.asarray(g1["verts"])).sum() > 0
+
+
+SPOT_AREA_ML_XML = """<Scene>
+  <BackgroundColor>8 8 16</BackgroundColor>
+  <MaxRecursionDepth>3</MaxRecursionDepth>
+  <Cameras><Camera id="1">
+    <Position>0 1 3</Position><Gaze>0 -0.2 -1</Gaze><Up>0 1 0</Up>
+    <NearPlane>-1 1 -0.75 0.75</NearPlane><NearDistance>1</NearDistance>
+    <ImageResolution>320 240</ImageResolution>
+    <ImageName>t.png</ImageName>
+  </Camera></Cameras>
+  <Lights>
+    <AmbientLight>10 10 10</AmbientLight>
+    <SpotLight id="1">
+      <Position>1.5 4 -2</Position><Direction>-0.4 -1 -0.2</Direction>
+      <Intensity>900 850 800</Intensity>
+      <CoverageAngle>40</CoverageAngle><FalloffAngle>24</FalloffAngle>
+    </SpotLight>
+    <AreaLight id="1">
+      <Position>-2 3.5 -1</Position><Normal>0 -1 0</Normal>
+      <Size>1.2</Size><Radiance>60 55 50</Radiance>
+    </AreaLight>
+  </Lights>
+  <Materials>
+    <Material id="1">
+      <AmbientReflectance>1 1 1</AmbientReflectance>
+      <DiffuseReflectance>0.7 0.65 0.6</DiffuseReflectance>
+      <SpecularReflectance>0.3 0.3 0.3</SpecularReflectance>
+      <PhongExponent>40</PhongExponent>
+    </Material>
+    <Material id="2" type="Mirror">
+      <AmbientReflectance>1 1 1</AmbientReflectance>
+      <DiffuseReflectance>0.2 0.2 0.2</DiffuseReflectance>
+      <SpecularReflectance>0.4 0.4 0.4</SpecularReflectance>
+      <MirrorReflectance>0.8 0.85 0.9</MirrorReflectance>
+      <PhongExponent>80</PhongExponent>
+    </Material>
+    <Material id="3">
+      <AmbientReflectance>0 0 0</AmbientReflectance>
+      <DiffuseReflectance>0 0 0</DiffuseReflectance>
+      <SpecularReflectance>0 0 0</SpecularReflectance>
+      <PhongExponent>1</PhongExponent>
+    </Material>
+  </Materials>
+  <VertexData>
+    -8 -1 4   8 -1 4   8 -1 -12   -8 -1 -12
+    -0.8 0.4 -4.2   0.8 0.4 -4.2   0.8 1.6 -4.2   -0.8 1.6 -4.2
+    0 -0.3 -3
+  </VertexData>
+  <Objects>
+    <Mesh id="1"><Material>1</Material>
+      <Faces>1 2 3  1 3 4</Faces></Mesh>
+    <LightMesh id="2"><Material>3</Material>
+      <Radiance>25 22 20</Radiance>
+      <Faces>5 6 7  5 7 8</Faces></LightMesh>
+    <Sphere id="1"><Material>2</Material>
+      <Center>9</Center><Radius>0.7</Radius></Sphere>
+  </Objects>
+</Scene>"""
+
+ALL_PARAMS = PARAMS + ("mat_radiance", "sl_intensity", "al_radiance",
+                       "ml_radiance")
+
+
+def test_megabwd_spot_area_meshlight_emissive():
+    """Spot + area + emissive mesh light (Whitted NEE of all three) through
+    the fused kernel: the area offsets and mesh-light face/barycentric
+    draws are replayed from the wavefront's key schedule, the emissive hit
+    (raytracer.cpp:81-84) and mesh-light NEE (778-803) gradients flow to
+    mat_radiance / ml_radiance / the light mesh's vertices."""
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".xml",
+                                     delete=False) as fh:
+        fh.write(SPOT_AREA_ML_XML)
+        path = fh.name
+    cfg = load_scene(path)
+    pack = pack_scene(cfg)
+    st = pack.static
+    assert (st.n_spot, st.n_area, st.n_mesh_lights) == (1, 1, 1)
+    assert st.has_emissive_mat
+    cam_cfg = cfg.cameras[0]
+    cam = build_camera(cam_cfg)
+    opts = options_for_camera(cfg, cam_cfg)
+    assert bwd_eligible(pack.static, opts, pack)
+    n = 256
+    rng = np.random.default_rng(5)
+    px = jnp.asarray(rng.uniform(0, cam_cfg.width, n).astype(np.float32))
+    py = jnp.asarray(rng.uniform(0, cam_cfg.height, n).astype(np.float32))
+    o, d = generate_rays(cam, px, py, jnp.zeros((n, 2)), dof=False)
+    d_opts = RenderOptions(max_depth=opts.max_depth, differentiable=True,
+                           max_iters=opts.max_depth + 2)
+    params = extract_params(pack, ALL_PARAMS)
+    f = make_diff_render(pack, opts, interpret=True)
+
+    def loss_k(p):
+        img = f(p, o, d)
+        return jnp.sum(img * jnp.cos(0.01 * img))
+
+    def loss_j(p):
+        img = trace_radiance(inject_params(pack, p), cam, px, py,
+                             jax.random.PRNGKey(0), d_opts)
+        return jnp.sum(img * jnp.cos(0.01 * img))
+
+    v0, g0 = jax.value_and_grad(loss_j)(params)
+    v1, g1 = jax.value_and_grad(loss_k)(params)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=2e-4)
+    for k in ALL_PARAMS:
+        a, b = np.asarray(g0[k]), np.asarray(g1[k])
+        if a.size == 0:
+            continue
+        assert np.all(np.isfinite(b)), k
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, rtol=5e-3, atol=5e-4 * scale,
+                                   err_msg=k)
+    for k in ("sl_intensity", "al_radiance", "ml_radiance", "mat_radiance"):
+        assert np.abs(np.asarray(g1[k])).sum() > 0, k
 
 
 def test_megabwd_optimize_routing():
