@@ -32,6 +32,89 @@ def _traced(pack, cam, px, py, key, opts):
     return trace_radiance(pack, cam, px, py, key, opts)
 
 
+def render_camera_sharded_mega(pack, cfg, cam_cfg, mesh=None, seed: int = 0,
+                               spp: int | None = None) -> np.ndarray:
+    """Frame-level sharding of the PRODUCTION fused Pallas megakernel: each
+    device runs the whole kernel on its pixel shard under ``shard_map``
+    (pixels are embarrassingly parallel — the reference's row blocks,
+    main.cpp:38-39, made SPMD).  At 1 spp with no RNG the image is
+    bit-identical to the single-device megakernel; multisampled renders
+    fold the device index into the sample key, so shards draw uncorrelated
+    stratified jitter (statistically equivalent, not bit-equal).
+
+    Returns the (H, W, 3) float radiance image.
+    """
+    import math
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from advanced_cpu_raytracing_tpu.ops.pallas.megakernel import (
+        build_mega,
+        mega_trace,
+    )
+    from advanced_cpu_raytracing_tpu.render import camera as cam_mod
+    from advanced_cpu_raytracing_tpu.render.renderer import (
+        _camera_cached,
+        _gaussian_multisample,
+        options_for_camera,
+    )
+    from advanced_cpu_raytracing_tpu.parallel.mesh import TILE_AXIS
+
+    if mesh is None:
+        mesh = make_device_mesh()
+    cam = _camera_cached(cam_cfg)
+    opts = options_for_camera(cfg, cam_cfg)
+    w, h = cam_cfg.width, cam_cfg.height
+    spp = cam_cfg.num_samples if spp is None else spp
+    n_cells = max(int(math.isqrt(max(spp, 1))), 1)
+    interpret = jax.default_backend() != "tpu"
+    # host_rng on the interpret path: pltpu.prng has no interpreter lowering
+    mc, tri_tab, chunk_tab, img_tab = build_mega(pack, opts,
+                                                 host_rng=interpret)
+
+    total = w * h
+    pad = (-total) % (mesh.size * 8)  # shard evenly, sublane-friendly
+    ys, xs = np.divmod(np.arange(total, dtype=np.int64), w)
+    px = jnp.asarray(np.pad(xs.astype(np.float32), (0, pad)))
+    py = jnp.asarray(np.pad(ys.astype(np.float32), (0, pad)))
+    needs_key = cam.use_dof or n_cells > 1 or mc.host_rng
+    key = jax.random.PRNGKey(seed) if needs_key else None
+
+    def local(px_s, py_s):
+        idx = jax.lax.axis_index(TILE_AXIS)
+        k_dev = jax.random.fold_in(key, idx) if key is not None else None
+        s_seed = jnp.int32(seed) + idx.astype(jnp.int32) * jnp.int32(9973)
+
+        def trace(px2, py2, kk):
+            r = px2.shape[0]
+            if cam.use_dof and kk is not None:
+                lens = jax.random.uniform(kk, (r, 2), minval=-1.0,
+                                          maxval=1.0)
+            else:
+                lens = jnp.zeros((r, 2))
+            o, d = cam_mod.generate_rays(cam, px2, py2, lens,
+                                         dof=cam.use_dof)
+            kseed = s_seed
+            if kk is not None and n_cells > 1:
+                kd = jax.random.key_data(kk)
+                kseed = s_seed + kd.reshape(-1)[-1].astype(jnp.int32)
+            return mega_trace(mc, tri_tab, chunk_tab, o, d,
+                              interpret=interpret, seed=kseed,
+                              rng_key=(kk if mc.host_rng else None),
+                              img_tab=img_tab)
+
+        return _gaussian_multisample(trace, px_s, py_s, k_dev, n_cells)
+
+    # check_vma=False: pallas_call's out_shape ShapeDtypeStructs carry no
+    # varying-mesh-axes annotation, which the checker (jax>=0.9) rejects
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(TILE_AXIS), P(TILE_AXIS)),
+                   out_specs=P(TILE_AXIS), check_vma=False)
+    col = jax.jit(fn)(px, py)
+    return np.asarray(col)[:total].reshape(h, w, 3)
+
+
 def render_camera_sharded(pack, cfg, cam_cfg, mesh=None, seed: int = 0,
                           spp: int | None = None) -> np.ndarray:
     """The PRODUCTION render — stratified multisampling + Gaussian
@@ -47,6 +130,7 @@ def render_camera_sharded(pack, cfg, cam_cfg, mesh=None, seed: int = 0,
     import math
 
     from advanced_cpu_raytracing_tpu.render.renderer import (
+        _mega_route,
         _render_tile,
         options_for_camera,
     )
@@ -56,6 +140,10 @@ def render_camera_sharded(pack, cfg, cam_cfg, mesh=None, seed: int = 0,
         mesh = make_device_mesh()
     cam = build_camera(cam_cfg)
     opts = options_for_camera(cfg, cam_cfg)
+    if _mega_route(pack, opts):
+        # production engine: per-device fused megakernel over pixel shards
+        return render_camera_sharded_mega(pack, cfg, cam_cfg, mesh=mesh,
+                                          seed=seed, spp=spp)
     w, h = cam_cfg.width, cam_cfg.height
     spp = cam_cfg.num_samples if spp is None else spp
     n_cells = max(int(math.isqrt(max(spp, 1))), 1)

@@ -46,6 +46,31 @@ def test_sharded_matches_single(scene):
     np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-4)
 
 
+def test_sharded_mega_matches_single(scene):
+    """The PRODUCTION engine (fused Pallas megakernel) sharded over the
+    8-device mesh equals the single-device megakernel image bit-for-bit at
+    1 spp (deterministic scene: per-shard lanes compute identical math)."""
+    import dataclasses
+    import os
+
+    from advanced_cpu_raytracing_tpu.parallel.shard_render import (
+        render_camera_sharded_mega,
+    )
+    from advanced_cpu_raytracing_tpu.render.renderer import render_camera
+
+    cfg, pack = scene
+    cam_cfg = dataclasses.replace(cfg.cameras[0], width=64, height=64)
+    img_sh = render_camera_sharded_mega(pack, cfg, cam_cfg, spp=1)
+    os.environ["ACRT_FORCE_MEGA"] = "1"
+    try:
+        img_single = render_camera(pack, cfg, cam_cfg, seed=0, spp=1,
+                                   ldr=False)
+    finally:
+        del os.environ["ACRT_FORCE_MEGA"]
+    assert img_sh.shape == img_single.shape == (64, 64, 3)
+    np.testing.assert_allclose(img_sh, img_single, rtol=0, atol=1e-6)
+
+
 def test_sharded_grads_finite(scene):
     from advanced_cpu_raytracing_tpu.diff.params import (
         extract_params,
