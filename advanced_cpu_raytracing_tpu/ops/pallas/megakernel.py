@@ -153,6 +153,13 @@ class MegaConsts:
     image_textures: tuple = ()
     img_diff: tuple = ()
     img_spec: tuple = ()
+    # ---- spherical environment light (sphericalEnvironmentLight.h:8-64) ----
+    # () or (width, height, row0, n_rows): raw HDR texels live as three
+    # channel blocks of n_rows rows each at [row0, row0+3*n_rows) in the
+    # img table, fetched by the row-masked lane gather; lat-long direction
+    # math (atan2/acos) is computed with in-kernel polynomials since Mosaic
+    # lowers neither primitive
+    env: tuple = ()
 
 
 def mega_eligible(static, opts, pack=None) -> bool:
@@ -163,7 +170,7 @@ def mega_eligible(static, opts, pack=None) -> bool:
         # scenes qualify with an empty one)
         and (static.n_faces == 0 or static.n_work_items > 0)
         and (static.n_work_items > 0 or static.n_spheres > 0)
-        and static.n_env == 0
+        and static.n_env <= 1
         and static.n_area <= 4
         and static.n_spot <= 4
         and static.n_spheres <= 8
@@ -178,6 +185,16 @@ def mega_eligible(static, opts, pack=None) -> bool:
         return False
     if static.n_textures > 0 and not _textures_eligible(static, pack):
         return False
+    if static.n_env > 0:
+        # env map must fit the row-masked gather budget; megapixel maps
+        # fall back to the jnp wavefront
+        if pack is None:
+            return False
+        img = int(np.asarray(pack.env_img)[0])
+        ew = int(np.asarray(pack.img_w)[img])
+        eh = int(np.asarray(pack.img_h)[img])
+        if ew * eh > _IMG_MAX_TEXELS:
+            return False
     if pack is not None and static.n_mesh_lights > 0:
         import numpy as _np
 
@@ -453,11 +470,14 @@ def build_mega(pack, opts, host_rng: bool = False):
 
     n_area = st.n_area
     has_rough = st.has_rough
+    n_env = st.n_env
     if (opts.path_tracing or mesh_lights or n_area or has_rough
-            or st.has_motion):
+            or st.has_motion or n_env):
         # slots: 0 RR | 1-2 GI | 3.. mesh lights (3 each) | .. area (2 each)
-        # | .. roughness (4: reflect+refract psi pairs) | last: motion time
+        # | .. env rejection candidates (48 = 16 x 3) | .. roughness (4:
+        # reflect+refract psi pairs) | last: motion time
         n_draws = (3 + 3 * len(mesh_lights) + 2 * n_area
+                   + (48 if n_env else 0)
                    + (4 if has_rough else 0) + (1 if st.has_motion else 0))
     else:
         n_draws = 0
@@ -523,6 +543,24 @@ def build_mega(pack, opts, host_rng: bool = False):
             i_diff = slotted(19, 0)
             i_spec = slotted(20, 0)
 
+    # spherical env light: raw HDR texels appended to the img table as three
+    # channel blocks (R rows, G rows, B rows) for the row-masked lane gather
+    env = ()
+    if st.n_env:
+        eimg = int(np.asarray(pack.env_img)[0])
+        ew = int(np.asarray(pack.img_w)[eimg])
+        eh = int(np.asarray(pack.img_h)[eimg])
+        edata = np.asarray(pack.img_atlas)[eimg, :eh, :ew]
+        n_rows_e = -(-(ew * eh) // LANES)
+        erow0 = img_tab.shape[0]
+        blocks = []
+        for c in range(3):
+            buf = np.zeros(n_rows_e * LANES, np.float32)
+            buf[:ew * eh] = edata[..., c].reshape(-1)
+            blocks.append(buf.reshape(n_rows_e, LANES))
+        img_tab = np.concatenate([np.asarray(img_tab)] + blocks, axis=0)
+        env = (ew, eh, erow0, n_rows_e)
+
     mc = MegaConsts(
         n_tri=w,
         spheres=tuple(spheres),
@@ -558,6 +596,7 @@ def build_mega(pack, opts, host_rng: bool = False):
         image_textures=image_tex,
         img_diff=i_diff,
         img_spec=i_spec,
+        env=env,
     )
     return mc, jnp.asarray(tab), jnp.asarray(ctab), jnp.asarray(img_tab)
 
@@ -571,7 +610,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             chunk_ref, seed_ref, rng_ref, *rest, mc: MegaConsts):
     rest = list(rest)
     perm_ref = rest.pop(0) if mc.perlin_textures else None
-    img_ref = rest.pop(0) if mc.image_textures else None
+    img_ref = rest.pop(0) if (mc.image_textures or mc.env) else None
     lx_ref, ly_ref, lz_ref = rest
     shape = (ROWS, LANES)
     ZERO = jnp.zeros(shape, jnp.float32)
@@ -591,7 +630,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         return jnp.where(pos, val, jnp.where(e == 0.0, 1.0, 0.0))
 
     needs_rng = (mc.pt or len(mc.mesh_lights) > 0 or len(mc.area_lights) > 0
-                 or mc.has_rough or mc.has_motion)
+                 or mc.has_rough or mc.has_motion or bool(mc.env))
     if needs_rng and not mc.host_rng:
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
@@ -756,6 +795,74 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
                 b_ = sum(w_ * c[2] for w_, c in zip(wts, rgbs))
             s = 1.0 / 255.0  # raytracer.cpp:494 normalization
             return r_ * s, g_ * s, b_ * s
+
+    # ---- spherical environment light (sphericalEnvironmentLight.h:8-64;
+    # render/lights.py::env_sample_radiance) ----
+    if mc.env:
+        _PI = float(np.pi)
+
+        def _atan_core(z):
+            """Cephes atanf polynomial, |z| <= tan(pi/8)."""
+            zz = z * z
+            return (((8.05374449538e-2 * zz - 1.38776856032e-1) * zz
+                     + 1.99777106478e-1) * zz - 3.33329491539e-1) * zz * z \
+                + z
+
+        def _atan_pos(r):
+            """atan(r) for r >= 0 via cephes range reduction (Mosaic lowers
+            no inverse-trig primitive, so these are plain VPU polynomials;
+            max error ~1e-7 rad — far below an env texel)."""
+            big = r > 2.414213562373095
+            mid = (r > 0.4142135623730950) & (~big)
+            x = jnp.where(big, -1.0 / jnp.maximum(r, 1e-30),
+                          jnp.where(mid, (r - 1.0) / (r + 1.0), r))
+            y = jnp.where(big, _PI / 2.0, jnp.where(mid, _PI / 4.0, 0.0))
+            return y + _atan_core(x)
+
+        def atan2_k(yv, xv):
+            ay, ax = jnp.abs(yv), jnp.abs(xv)
+            swap = ay > ax
+            num = jnp.minimum(ay, ax)
+            den = jnp.maximum(jnp.maximum(ay, ax), 1e-30)
+            base = _atan_pos(num / den)
+            r = jnp.where(swap, _PI / 2.0 - base, base)
+            a = jnp.where(xv < 0.0, _PI - r, r)
+            return jnp.where(yv < 0.0, -a, a)
+
+        def acos_k(t):
+            return atan2_k(jnp.sqrt(jnp.maximum(1.0 - t * t, 0.0)), t)
+
+        def env_fetch(uu, vv):
+            """Nearest lat-long texel (ops/texture.py::sample_nearest): raw
+            HDR rgb via the row-masked lane gather over the env channel
+            blocks."""
+            ew, eh, erow0, enr = mc.env
+            fw, fh = float(ew), float(eh)
+            i_ = jnp.maximum(jnp.minimum((uu * fw).astype(jnp.int32),
+                                         ew - 1), 0)
+            j_ = jnp.maximum(jnp.minimum((vv * fh).astype(jnp.int32),
+                                         eh - 1), 0)
+            idx = j_ * ew + i_
+            lane = jnp.bitwise_and(idx, 127)
+            row = jnp.right_shift(idx, 7)
+            out = [ZERO, ZERO, ZERO]
+            for c in range(3):
+                for rr_ in range(enr):
+                    brow = jnp.broadcast_to(
+                        img_ref[erow0 + c * enr + rr_:
+                                erow0 + c * enr + rr_ + 1, :], shape)
+                    g = jnp.take_along_axis(brow, lane, axis=1)
+                    out[c] = out[c] + jnp.where(row == rr_, g, 0.0)
+            return out[0], out[1], out[2]
+
+        def env_radiance(vx, vy, vz):
+            """Lat-long lookup * 2pi at an (unnormalized) direction
+            (GetSample, sphericalEnvironmentLight.h:22-35)."""
+            u = (1.0 + atan2_k(vx, -vz) / _PI) / 2.0
+            v = acos_k(jnp.clip(vy, -1.0, 1.0)) / _PI
+            er, eg, eb = env_fetch(u, v)
+            s = 2.0 * _PI
+            return er * s, eg * s, eb * s
 
     def sphere_local(s, px, py, pz, vx, vy, vz, is_point):
         """Apply sphere s's packed world->object transform."""
@@ -1024,14 +1131,18 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
     # while-carry layout (all (8,128) unless noted):
     #   it scalar | L xyz | cur o xyz, d xyz, w xyz, absorb xyz, medium,
     #   depth i32, active (f32 mask: Mosaic miscompiles i1 loop carries) |
-    #   sp i32 + stack fields (K,8,128) x 14 (diel only)
+    #   [env scenes: cenv f32 mask — sample env on this ray's miss] |
+    #   sp i32 + stack fields (K,8,128) x 14 (+ s_env) (diel only)
     carry = [jnp.int32(0), ZERO, ZERO, ZERO,
              ox, oy, oz, dx, dy, dz, ONE, ONE, ONE,
              ZERO, ZERO, ZERO, ONE, depth0, ONE]
+    if mc.env:
+        carry += [ZERO]
     if use_stack:
         kz = jnp.zeros((k_slots,) + shape, jnp.float32)
         ki = jnp.zeros((k_slots,) + shape, jnp.int32)
-        carry += [jnp.zeros(shape, jnp.int32)] + [kz] * 13 + [ki]
+        carry += [jnp.zeros(shape, jnp.int32)] \
+            + [kz] * (14 if mc.env else 13) + [ki]
 
     def cond_fn(c):
         return (c[0] < mc.max_iters) & jnp.any(c[18] > 0.5)
@@ -1041,9 +1152,17 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
          cox, coy, coz, cdx, cdy, cdz, cwx, cwy, cwz,
          cax, cay, caz, cmed, cdep, cact_f) = c[:19]
         cact = cact_f > 0.5
+        base_i = 19
+        if mc.env:
+            cenv_f = c[19]
+            base_i = 20
         if use_stack:
-            (sp, s_ox, s_oy, s_oz, s_dx, s_dy, s_dz, s_wx, s_wy, s_wz,
-             s_ax, s_ay, s_az, s_med, s_dep) = c[19:]
+            if mc.env:
+                (sp, s_ox, s_oy, s_oz, s_dx, s_dy, s_dz, s_wx, s_wy, s_wz,
+                 s_ax, s_ay, s_az, s_med, s_env, s_dep) = c[base_i:]
+            else:
+                (sp, s_ox, s_oy, s_oz, s_dx, s_dy, s_dz, s_wx, s_wy, s_wz,
+                 s_ax, s_ay, s_az, s_med, s_dep) = c[base_i:]
 
         t, nx, ny, nz, matf, mlf, hitv, tslots, hituv = trace(
             cox, coy, coz, cdx, cdy, cdz, cact)
@@ -1056,12 +1175,21 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             cwy = cwy * jnp.exp(-cay * t_safe)
             cwz = cwz * jnp.exp(-caz * t_safe)
 
-        # primary miss -> background (raytracer.cpp:49-62); secondary miss
-        # contributes nothing (no env light in eligible scenes)
-        missp = cact & (~hitv) & (it == 0)
-        lr = lr + jnp.where(missp, cwx * mc.bg[0], 0.0)
-        lg = lg + jnp.where(missp, cwy * mc.bg[1], 0.0)
-        lb = lb + jnp.where(missp, cwz * mc.bg[2], 0.0)
+        # miss resolution (raytracer.cpp:49-62): env light wins over the
+        # flat background when present; secondary misses sample the env only
+        # for branches flagged env-on-miss (mirror / dielectric children —
+        # integrator.py refl_env), else contribute nothing
+        if mc.env:
+            e_r, e_g, e_b = env_radiance(cdx, cdy, cdz)
+            misse = cact & (~hitv) & ((it == 0) | (cenv_f > 0.5))
+            lr = lr + jnp.where(misse, cwx * e_r, 0.0)
+            lg = lg + jnp.where(misse, cwy * e_g, 0.0)
+            lb = lb + jnp.where(misse, cwz * e_b, 0.0)
+        else:
+            missp = cact & (~hitv) & (it == 0)
+            lr = lr + jnp.where(missp, cwx * mc.bg[0], 0.0)
+            lg = lg + jnp.where(missp, cwy * mc.bg[1], 0.0)
+            lb = lb + jnp.where(missp, cwz * mc.bg[2], 0.0)
 
         # hit point & view direction
         px = cox + t_safe * cdx
@@ -1421,6 +1549,30 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
                 lrad[0] * wgt * f2pi, lrad[1] * wgt * f2pi,
                 lrad[2] * wgt * f2pi, gate_in & (~blocked))
 
+        # env light direct term (raytracer.cpp:741-755, lights.py:190-199):
+        # rejection-sample an upper-hemisphere direction (16 candidates,
+        # first valid, fallback = the normal; candidates stay UNNORMALIZED
+        # like the reference), fetch the lat-long radiance along it, but
+        # shade with the NORMAL as w_i (reference quirk, lights.py:198);
+        # no shadow ray (the reference leaves it TODO)
+        if mc.env and sample_direct:
+            base_e = 3 + 3 * len(mc.mesh_lights) + 2 * len(mc.area_lights)
+            ex, ey, ez = nx, ny, nz
+            accepted = FALSE
+            for ci in range(16):
+                cxv = 2.0 * rnd(it, base_e + 3 * ci) - 1.0
+                cyv = 2.0 * rnd(it, base_e + 3 * ci + 1) - 1.0
+                czv = 2.0 * rnd(it, base_e + 3 * ci + 2) - 1.0
+                ok = ((cxv * cxv + cyv * cyv + czv * czv <= 1.0)
+                      & (cxv * nx + cyv * ny + czv * nz > 0.0))
+                take = ok & (~accepted)
+                ex = jnp.where(take, cxv, ex)
+                ey = jnp.where(take, cyv, ey)
+                ez = jnp.where(take, czv, ez)
+                accepted = accepted | ok
+            er, eg, eb = env_radiance(ex, ey, ez)
+            lr, lg, lb = add_light(lr, lg, lb, nx, ny, nz, er, eg, eb, lit)
+
         # ---- children (reflection continues in-register; refraction pushes) --
         new_act = FALSE
         nox, noy, noz = px, py, pz
@@ -1428,6 +1580,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         nwx, nwy, nwz = cwx, cwy, cwz
         nax, nay, naz = ZERO, ZERO, ZERO
         nmed = ONE
+        ncenv = ZERO  # env-on-miss flag of the continuation ray
 
         if mc.pt:
             # GI child weight: Shade(w_i=gi, unit Li) * 2pi * rr_scale
@@ -1459,7 +1612,8 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
                 # 424-440): r' = unit(r + (u*psi1 + v*psi2)*roughness)
                 rough = mat_field(matf, lambda m: m[10])
                 base_r = (3 + 3 * len(mc.mesh_lights)
-                          + 2 * len(mc.area_lights))
+                          + 2 * len(mc.area_lights)
+                          + (48 if mc.env else 0))
                 rp1 = rnd(it, base_r) - 0.5
                 rp2 = rnd(it, base_r + 1) - 0.5
                 is_rough = rough > 0.001
@@ -1492,6 +1646,9 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
                 nwx = jnp.where(mm, cwx * mirx, nwx)
                 nwy = jnp.where(mm, cwy * miry, nwy)
                 nwz = jnp.where(mm, cwz * mirz, nwz)
+                if mc.env:
+                    # mirror miss samples the env (raytracer.cpp:461-469)
+                    ncenv = jnp.where(mm, 1.0, ncenv)
 
             if mc.has_conductor:
                 # conductor Fresnel (raytracer.cpp:208-254)
@@ -1587,6 +1744,10 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
                 nay = jnp.where(rin, aby, nay)
                 naz = jnp.where(rin, abz, naz)
                 nmed = jnp.where(is_rl, obj_n, nmed)
+                if mc.env:
+                    # partial-reflection leg samples the env on miss
+                    # (integrator.py:418/428); TIR and conductors do not
+                    ncenv = jnp.where(is_rl, 1.0, ncenv)
 
                 # refraction leg -> stack push (perturbed on the RAW vector
                 # like Raytracer's refract path, raytracer.cpp:366-375)
@@ -1620,6 +1781,10 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
                 s_ay = push(s_ay, jnp.where(fin, aby, 0.0))
                 s_az = push(s_az, jnp.where(fin, abz, 0.0))
                 s_med = push(s_med, obj_n)
+                if mc.env:
+                    # refraction leg samples the env on miss
+                    # (integrator.py:440)
+                    s_env = push(s_env, ONE)
                 s_dep = jnp.where(ksel, (cdep - 1)[None], s_dep)
                 sp = sp + is_rl.astype(jnp.int32)
 
@@ -1662,9 +1827,13 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             s_ay = gpush(s_ay, ZERO)
             s_az = gpush(s_az, ZERO)
             s_med = gpush(s_med, cmed)
+            if mc.env:
+                s_env = gpush(s_env, ZERO)  # GI misses add nothing
             s_dep = jnp.where(gsel, (cdep - 1)[None], s_dep)
             sp = sp + gi_push.astype(jnp.int32)
             new_act = new_act | gi_cont
+            if mc.env:
+                ncenv = jnp.where(gi_cont, 0.0, ncenv)
 
         # ---- pop for lanes without a continuation ----
         if use_stack:
@@ -1689,6 +1858,8 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             nay = jnp.where(need, pop(s_ay), nay)
             naz = jnp.where(need, pop(s_az), naz)
             nmed = jnp.where(need, pop(s_med), nmed)
+            if mc.env:
+                ncenv = jnp.where(need, pop(s_env), ncenv)
             ndep = jnp.where(need, pop(s_dep), cdep - 1)
             sp = sp - need.astype(jnp.int32)
             act = new_act | need
@@ -1699,9 +1870,14 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         out = [it + 1, lr, lg, lb,
                nox, noy, noz, ndx, ndy, ndz, nwx, nwy, nwz,
                nax, nay, naz, nmed, ndep, jnp.where(act, 1.0, 0.0)]
+        if mc.env:
+            out += [ncenv]
         if use_stack:
             out += [sp, s_ox, s_oy, s_oz, s_dx, s_dy, s_dz,
-                    s_wx, s_wy, s_wz, s_ax, s_ay, s_az, s_med, s_dep]
+                    s_wx, s_wy, s_wz, s_ax, s_ay, s_az, s_med]
+            if mc.env:
+                out += [s_env]
+            out += [s_dep]
         return tuple(out)
 
     final = jax.lax.while_loop(cond_fn, body_fn, tuple(carry))
@@ -1767,8 +1943,9 @@ def mega_trace_flat(mc: MegaConsts, tri_tab, chunk_tab, o, d,
     if mc.perlin_textures:
         extra_in.append(jnp.asarray(_perm512_table()))
         extra_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-    if mc.image_textures:
-        assert img_tab is not None, "image-textured mc needs its img_tab"
+    if mc.image_textures or mc.env:
+        assert img_tab is not None, \
+            "image-textured / env-lit mc needs its img_tab"
         extra_in.append(img_tab)
         extra_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
 

@@ -27,12 +27,18 @@ its 1-spp 1.675 Mpaths/s, and the best run is used, so the comparison
 favors the reference), while the TPU amortizes the fixed per-frame tunnel
 fetch over 16x the paths.  Both sides count paths = width x height x spp.
 `--spp1` runs the legacy 1-spp single-fetch-per-frame metric (recorded
-through round 2).
+through round 2; re-measured every round in BASELINE.md so the two metric
+eras stay bridged).
+
+Reproducing the reference baseline: `python bench.py --ref16` rebuilds the
+16-spp scene XML in /tmp, runs the reference binary 3x, and prints the raw
+"Rendering took" timings (the recorded runs are in BASELINE.md).
 """
 
 from __future__ import annotations
 
 import json
+import math
 import sys
 import time
 
@@ -57,7 +63,11 @@ def main_bwd() -> None:
     step costs this much vs the reference's fwd-only render".
 
     Routes through the fused fwd+bwd Pallas kernel (ops/pallas/megabwd.py)
-    when the scene is eligible; --bwd-jnp forces the jnp wavefront."""
+    when the scene is eligible; --bwd-jnp forces the jnp wavefront.
+    --bwd-scene {conductors|alt2|spotareaml|<path>} picks the scene
+    (default conductors); alt2 = dielectric chains (stochastic single-path
+    kernel), spotareaml = scenes/feat_spotareaml.xml (spot + area +
+    emissive mesh light)."""
     import jax
     import jax.numpy as jnp
 
@@ -81,13 +91,27 @@ def main_bwd() -> None:
     from advanced_cpu_raytracing_tpu.scene.pack import pack_scene
     from advanced_cpu_raytracing_tpu.scene.xml_parser import load_scene
 
-    cfg = load_scene(SCENE)
+    scenes = {
+        "conductors": SCENE,
+        "alt2": ("/root/reference/archive/hw1_inputs/"
+                 "cornellbox_recursive_alt2.xml"),
+        "spotareaml": "scenes/feat_spotareaml.xml",
+    }
+    name = "conductors"
+    if "--bwd-scene" in sys.argv:
+        name = sys.argv[sys.argv.index("--bwd-scene") + 1]
+    scene_path = scenes.get(name, name)
+
+    cfg = load_scene(scene_path)
     pack = pack_scene(cfg)
-    cam = _camera_cached(cfg.cameras[0])
+    cam_cfg = cfg.cameras[0]
+    cam = _camera_cached(cam_cfg)
     # fixed-trip differentiable wavefront (reverse-mode AD cannot cross
-    # lax.while_loop); 8 iterations covers the conductor chains at depth 6
+    # lax.while_loop); depth+2 iterations covers the specular chains
     opts = RenderOptions(max_depth=cfg.max_recursion_depth,
-                         differentiable=True, max_iters=8)
+                         differentiable=True,
+                         max_iters=cfg.max_recursion_depth + 2,
+                         stochastic_dielectric=pack.static.has_dielectric)
 
     w, h = 1920, 1080
     n = w * h
@@ -97,9 +121,9 @@ def main_bwd() -> None:
     n_tiles = 8
     tile = n // n_tiles
     ys, xs = np.divmod(np.arange(n, dtype=np.int64), w)
-    # map 1080p sample grid onto the 800x800 camera plane
-    px_all = jnp.asarray(xs * (800.0 / w), jnp.float32)
-    py_all = jnp.asarray(ys * (800.0 / h), jnp.float32)
+    # map the 1080p sample grid onto the scene camera's pixel plane
+    px_all = jnp.asarray(xs * (cam_cfg.width / w), jnp.float32)
+    py_all = jnp.asarray(ys * (cam_cfg.height / h), jnp.float32)
     params = extract_params(pack, ("mat_diffuse", "pl_intensity", "verts"))
 
     r_opts = options_for_camera(cfg, cfg.cameras[0])
@@ -146,7 +170,8 @@ def main_bwd() -> None:
     dt = sorted(times)[len(times) // 2]
     rate = n_tiles * tile / dt
     print(json.dumps({
-        "metric": "cornellbox_1080p_fwd_bwd_rays_per_s",
+        "metric": f"{name}_1080p_fwd_bwd_rays_per_s"
+        if name != "conductors" else "cornellbox_1080p_fwd_bwd_rays_per_s",
         "value": round(rate / 1e6, 4),
         "unit": "Mrays/s",
         "vs_baseline": round(rate / BASELINE_PATHS_PER_S, 3),
@@ -176,7 +201,8 @@ def main(spp1: bool = False) -> None:
 
     mega = _mega_route(pack, opts)
     spp = 1 if (spp1 or not mega) else 16
-    n_cells = 4 if spp == 16 else 1
+    n_cells = math.isqrt(spp)
+    assert n_cells * n_cells == spp, spp
     paths = w * h * spp
     pipeline = PIPELINE if spp == 1 else PIPELINE_16
 
@@ -184,14 +210,17 @@ def main(spp1: bool = False) -> None:
         import jax
         import jax.numpy as jnp
 
-        cam = _camera_cached(cam_cfg)
-        mc, tab, ctab, img_tab = _mega_build_cached(pack, opts)
         interpret = jax.default_backend() != "tpu"
 
         # PRNG keys and seed scalars are made on device BEFORE the timed
         # section (a PRNGKey costs a ~25 ms h2d round-trip on the tunnel;
-        # the reference's own RNG seeding likewise sits outside its timer)
-        keys = [jax.random.PRNGKey(i) if n_cells > 1 else None
+        # the reference's own RNG seeding likewise sits outside its timer).
+        # Key need mirrors render_camera: DoF / multisampling / host-RNG
+        # scenes must not silently render a cheaper pinhole/no-RNG frame.
+        cam = _camera_cached(cam_cfg)
+        mc, tab, ctab, img_tab = _mega_build_cached(pack, opts)
+        needs_key = cam.use_dof or n_cells > 1 or mc.host_rng
+        keys = [jax.random.PRNGKey(i) if needs_key else None
                 for i in range(pipeline)]
         seeds = [jnp.int32(i) for i in range(pipeline)]
         jax.block_until_ready([k for k in keys if k is not None] or seeds)
@@ -230,8 +259,36 @@ def main(spp1: bool = False) -> None:
     }))
 
 
+def main_ref16() -> None:
+    """Re-measure the reference CPU baseline on the identical 16-spp
+    workload (methodology for BASELINE_16SPP_PATHS_PER_S): inject
+    <NumSamples>16</NumSamples> into the scene XML, run the reference
+    binary 3x, print each run's own "Rendering took" line."""
+    import pathlib
+    import re
+    import subprocess
+    import tempfile
+
+    src = pathlib.Path(SCENE)
+    xml = src.read_text()
+    assert "<NumSamples>" not in xml
+    xml = xml.replace("</ImageResolution>",
+                      "</ImageResolution>\n<NumSamples>16</NumSamples>", 1)
+    with tempfile.TemporaryDirectory() as td:
+        scene = pathlib.Path(td) / src.name
+        scene.write_text(xml)
+        for i in range(3):
+            out = subprocess.run(
+                ["/root/reference/src/raytracer", str(scene)],
+                cwd=td, capture_output=True, text=True, timeout=600)
+            m = re.search(r"Rendering took: ([0-9.]+)s", out.stdout)
+            print(f"run {i}: {m.group(1) if m else out.stdout!r} s")
+
+
 if __name__ == "__main__":
     if "--bwd" in sys.argv:
         main_bwd()
+    elif "--ref16" in sys.argv:
+        main_ref16()
     else:
         main(spp1="--spp1" in sys.argv)

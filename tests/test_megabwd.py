@@ -189,63 +189,9 @@ def test_megabwd_dielectric_matches_stochastic_wavefront():
     assert np.abs(np.asarray(g1["verts"])).sum() > 0
 
 
-SPOT_AREA_ML_XML = """<Scene>
-  <BackgroundColor>8 8 16</BackgroundColor>
-  <MaxRecursionDepth>3</MaxRecursionDepth>
-  <Cameras><Camera id="1">
-    <Position>0 1 3</Position><Gaze>0 -0.2 -1</Gaze><Up>0 1 0</Up>
-    <NearPlane>-1 1 -0.75 0.75</NearPlane><NearDistance>1</NearDistance>
-    <ImageResolution>320 240</ImageResolution>
-    <ImageName>t.png</ImageName>
-  </Camera></Cameras>
-  <Lights>
-    <AmbientLight>10 10 10</AmbientLight>
-    <SpotLight id="1">
-      <Position>1.5 4 -2</Position><Direction>-0.4 -1 -0.2</Direction>
-      <Intensity>900 850 800</Intensity>
-      <CoverageAngle>40</CoverageAngle><FalloffAngle>24</FalloffAngle>
-    </SpotLight>
-    <AreaLight id="1">
-      <Position>-2 3.5 -1</Position><Normal>0 -1 0</Normal>
-      <Size>1.2</Size><Radiance>60 55 50</Radiance>
-    </AreaLight>
-  </Lights>
-  <Materials>
-    <Material id="1">
-      <AmbientReflectance>1 1 1</AmbientReflectance>
-      <DiffuseReflectance>0.7 0.65 0.6</DiffuseReflectance>
-      <SpecularReflectance>0.3 0.3 0.3</SpecularReflectance>
-      <PhongExponent>40</PhongExponent>
-    </Material>
-    <Material id="2" type="Mirror">
-      <AmbientReflectance>1 1 1</AmbientReflectance>
-      <DiffuseReflectance>0.2 0.2 0.2</DiffuseReflectance>
-      <SpecularReflectance>0.4 0.4 0.4</SpecularReflectance>
-      <MirrorReflectance>0.8 0.85 0.9</MirrorReflectance>
-      <PhongExponent>80</PhongExponent>
-    </Material>
-    <Material id="3">
-      <AmbientReflectance>0 0 0</AmbientReflectance>
-      <DiffuseReflectance>0 0 0</DiffuseReflectance>
-      <SpecularReflectance>0 0 0</SpecularReflectance>
-      <PhongExponent>1</PhongExponent>
-    </Material>
-  </Materials>
-  <VertexData>
-    -8 -1 4   8 -1 4   8 -1 -12   -8 -1 -12
-    -0.8 0.4 -4.2   0.8 0.4 -4.2   0.8 1.6 -4.2   -0.8 1.6 -4.2
-    0 -0.3 -3
-  </VertexData>
-  <Objects>
-    <Mesh id="1"><Material>1</Material>
-      <Faces>1 2 3  1 3 4</Faces></Mesh>
-    <LightMesh id="2"><Material>3</Material>
-      <Radiance>25 22 20</Radiance>
-      <Faces>5 6 7  5 7 8</Faces></LightMesh>
-    <Sphere id="1"><Material>2</Material>
-      <Center>9</Center><Radius>0.7</Radius></Sphere>
-  </Objects>
-</Scene>"""
+SPOT_AREA_ML_SCENE = str(
+    __import__("pathlib").Path(__file__).resolve().parents[1]
+    / "scenes" / "feat_spotareaml.xml")
 
 ALL_PARAMS = PARAMS + ("mat_radiance", "sl_intensity", "al_radiance",
                        "ml_radiance")
@@ -257,13 +203,7 @@ def test_megabwd_spot_area_meshlight_emissive():
     draws are replayed from the wavefront's key schedule, the emissive hit
     (raytracer.cpp:81-84) and mesh-light NEE (778-803) gradients flow to
     mat_radiance / ml_radiance / the light mesh's vertices."""
-    import tempfile
-
-    with tempfile.NamedTemporaryFile("w", suffix=".xml",
-                                     delete=False) as fh:
-        fh.write(SPOT_AREA_ML_XML)
-        path = fh.name
-    cfg = load_scene(path)
+    cfg = load_scene(SPOT_AREA_ML_SCENE)
     pack = pack_scene(cfg)
     st = pack.static
     assert (st.n_spot, st.n_area, st.n_mesh_lights) == (1, 1, 1)

@@ -759,3 +759,134 @@ def test_megakernel_image_texture_eligibility(tmp_path):
     assert not check(ok_png, lambda x: x.replace(
         "<DecalMode>replace_ks</DecalMode>",
         "<DecalMode>replace_normal</DecalMode>"))
+
+
+def _env_scene(tmp_path, mirror: bool = True):
+    """Env-lit scene: lat-long EXR (64x32) + floor mesh + mirror sphere
+    (mirror children sample the env on miss)."""
+    from advanced_cpu_raytracing_tpu.scene.images import write_exr
+
+    h, w = 32, 64
+    ys, xs = np.mgrid[0:h, 0:w]
+    env = np.stack([
+        1.0 + 3.0 * xs / w,
+        0.5 + 2.0 * ys / h,
+        2.0 + np.where((ys > 8) & (ys < 14), 6.0, 0.0),
+    ], axis=-1).astype(np.float32)
+    write_exr(str(tmp_path / "env.exr"), env)
+    sphere = """<Sphere id="1"><Material>2</Material><Center>5</Center>
+      <Radius>1.0</Radius></Sphere>""" if mirror else ""
+    xml = f"""<Scene>
+  <BackgroundColor>0 0 0</BackgroundColor>
+  <MaxRecursionDepth>2</MaxRecursionDepth>
+  <Cameras><Camera id="1">
+    <Position>0 1 4</Position><Gaze>0 -0.1 -1</Gaze><Up>0 1 0</Up>
+    <NearPlane>-1 1 -0.75 0.75</NearPlane><NearDistance>1</NearDistance>
+    <ImageResolution>320 240</ImageResolution>
+    <ImageName>t.png</ImageName>
+  </Camera></Cameras>
+  <Lights>
+    <AmbientLight>5 5 5</AmbientLight>
+    <SphericalDirectionalLight id="1"><ImageId>1</ImageId>
+    </SphericalDirectionalLight>
+  </Lights>
+  <Materials>
+    <Material id="1"><AmbientReflectance>1 1 1</AmbientReflectance>
+      <DiffuseReflectance>0.6 0.6 0.6</DiffuseReflectance>
+      <SpecularReflectance>0.2 0.2 0.2</SpecularReflectance>
+      <PhongExponent>20</PhongExponent></Material>
+    <Material id="2" type="Mirror"><AmbientReflectance>0 0 0</AmbientReflectance>
+      <DiffuseReflectance>0.1 0.1 0.1</DiffuseReflectance>
+      <SpecularReflectance>0 0 0</SpecularReflectance>
+      <MirrorReflectance>0.9 0.9 0.9</MirrorReflectance>
+      <PhongExponent>1</PhongExponent></Material>
+  </Materials>
+  <Textures><Images><Image id="1">env.exr</Image></Images></Textures>
+  <VertexData>
+    -6 -1 4   6 -1 4   6 -1 -8   -6 -1 -8
+    0 0 -2
+  </VertexData>
+  <Objects>
+    <Mesh id="1"><Material>1</Material><Faces>1 2 3  1 3 4</Faces></Mesh>
+    {sphere}
+  </Objects>
+</Scene>"""
+    p = tmp_path / "env_scene.xml"
+    p.write_text(xml)
+    cfg = load_scene(str(p))
+    return cfg, pack_scene(cfg)
+
+
+def test_megakernel_env_light(tmp_path):
+    """Spherical env light inside the fused kernel (round 4): lat-long
+    lookup via in-kernel polynomial atan2/acos + row-masked gathers.  The
+    env BACKGROUND (primary + mirror-child misses) is deterministic and
+    must match the wavefront exactly; the surface direct term uses
+    rejection-sampled directions (different RNG streams), so expectations
+    compare over seeds."""
+    from advanced_cpu_raytracing_tpu.ops.pallas.megakernel import (
+        build_mega as _bm,
+        mega_eligible as _me,
+        mega_trace as _mt,
+    )
+    from advanced_cpu_raytracing_tpu.ops.traverse import closest_hit
+    from advanced_cpu_raytracing_tpu.render.renderer import options_for_camera
+
+    cfg, pack = _env_scene(tmp_path)
+    opts = options_for_camera(cfg, cfg.cameras[0])
+    assert _me(pack.static, opts, pack)
+    mc, tab, ctab, img_tab = _bm(pack, opts, host_rng=True)
+    assert mc.env[0] == 64 and mc.env[1] == 32
+    cam = build_camera(cfg.cameras[0])
+    rng = np.random.default_rng(0)
+    n = 2048
+    px = jnp.asarray(rng.uniform(0, 320, n).astype(np.float32))
+    py = jnp.asarray(rng.uniform(0, 240, n).astype(np.float32))
+    o, d = cam_mod.generate_rays(cam, px, py, jnp.zeros((n, 2)), dof=False)
+    w_opts = RenderOptions(max_depth=cfg.max_recursion_depth)
+
+    img_k = np.asarray(_mt(mc, tab, ctab, o, d, interpret=True, seed=0,
+                           rng_key=jax.random.PRNGKey(0), img_tab=img_tab))
+    img_j = np.asarray(trace_radiance(pack, cam, px, py,
+                                      jax.random.PRNGKey(0), w_opts))
+    hit = np.asarray(closest_hit(pack, o, d, jnp.zeros(n)).valid)
+    assert (~hit).sum() > 200
+    np.testing.assert_allclose(img_k[~hit], img_j[~hit], rtol=1e-5,
+                               atol=1e-5)
+
+    f = jax.jit(lambda k: trace_radiance(pack, cam, px, py, k, w_opts))
+    ks, js = [], []
+    n_seeds = 12
+    for s in range(n_seeds):
+        ks.append(float(np.asarray(
+            _mt(mc, tab, ctab, o, d, interpret=True, seed=s,
+                rng_key=jax.random.PRNGKey(50 + s),
+                img_tab=img_tab))[hit].mean()))
+        js.append(float(np.asarray(f(jax.random.PRNGKey(200 + s)))[hit]
+                        .mean()))
+    ka, ja = np.array(ks), np.array(js)
+    z = abs(ka.mean() - ja.mean()) / np.sqrt(
+        ka.var() / n_seeds + ja.var() / n_seeds + 1e-12)
+    assert z < 4.0, (ka.mean(), ja.mean(), z)
+
+
+def test_megakernel_env_eligibility(tmp_path):
+    """Megapixel env maps stay on the wavefront fallback."""
+    from advanced_cpu_raytracing_tpu.ops.pallas.megakernel import (
+        _IMG_MAX_TEXELS,
+        mega_eligible as _me,
+    )
+    from advanced_cpu_raytracing_tpu.render.renderer import options_for_camera
+    from advanced_cpu_raytracing_tpu.scene.images import write_exr
+
+    cfg, pack = _env_scene(tmp_path, mirror=False)
+    opts = options_for_camera(cfg, cfg.cameras[0])
+    assert _me(pack.static, opts, pack)
+
+    side = int(np.sqrt(_IMG_MAX_TEXELS)) + 9
+    big = np.ones((side, side, 3), np.float32)
+    write_exr(str(tmp_path / "env.exr"), big)
+    cfg2 = load_scene(str(tmp_path / "env_scene.xml"))
+    pack2 = pack_scene(cfg2)
+    assert not _me(pack2.static, options_for_camera(cfg2, cfg2.cameras[0]),
+                   pack2)

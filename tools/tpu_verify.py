@@ -110,53 +110,172 @@ def main() -> int:
             trace_radiance,
         )
 
-        scene = INPUTS / "cornellbox_recursive_conductors.xml"
+        repo = pathlib.Path(__file__).resolve().parents[1]
+        cases = [
+            ("conductors", INPUTS / "cornellbox_recursive_conductors.xml"),
+            ("alt2", INPUTS / "cornellbox_recursive_alt2.xml"),
+            ("spotareaml", repo / "scenes" / "feat_spotareaml.xml"),
+        ]
+        keys = ("mat_ambient", "mat_diffuse", "mat_specular", "mat_mirror",
+                "mat_phong", "mat_radiance", "pl_intensity", "dl_radiance",
+                "sl_intensity", "al_radiance", "ml_radiance", "bg_color",
+                "verts")
+        for cname, scene in cases:
+            cfg = load_scene(str(scene))
+            pack = pack_scene(cfg)
+            cam = build_camera(cfg.cameras[0])
+            opts = options_for_camera(cfg, cfg.cameras[0])
+            assert bwd_eligible(pack.static, opts, pack), cname
+            nrays = 8192
+            rng = np.random.default_rng(0)
+            cw, ch = cfg.cameras[0].width, cfg.cameras[0].height
+            px = jnp.asarray(rng.uniform(0, cw, nrays).astype(np.float32))
+            py = jnp.asarray(rng.uniform(0, ch, nrays).astype(np.float32))
+            o, d = generate_rays(cam, px, py, jnp.zeros((nrays, 2)),
+                                 dof=False)
+            params = extract_params(pack, keys)
+            render = make_diff_render(pack, opts)
+
+            def loss_k(p, render=render, o=o, d=d):
+                return jnp.sum(jnp.asarray(render(p, o, d)) ** 2)
+
+            # dielectric scenes: the kernel is the stochastic single-path
+            # estimator, so the oracle must run in the same mode (both
+            # consume identical branch uniforms via wavefront_rng)
+            d_opts = RenderOptions(
+                max_depth=opts.max_depth, differentiable=True,
+                max_iters=opts.max_depth + 2,
+                stochastic_dielectric=pack.static.has_dielectric)
+
+            def loss_j(p, pack=pack, cam=cam, px=px, py=py, d_opts=d_opts):
+                img = trace_radiance(inject_params(pack, p), cam, px, py,
+                                     jax.random.PRNGKey(0), d_opts)
+                return jnp.sum(img ** 2)
+
+            t0 = _time.perf_counter()
+            vk, gk = jax.jit(jax.value_and_grad(loss_k))(params)
+            jax.block_until_ready(gk)
+            print(f"megabwd[{cname}]: kernel compile+run "
+                  f"{_time.perf_counter()-t0:.1f}s", flush=True)
+            t0 = _time.perf_counter()
+            vj, gj = jax.jit(jax.value_and_grad(loss_j))(params)
+            jax.block_until_ready(gj)
+            print(f"megabwd[{cname}]: jnp oracle compile+run "
+                  f"{_time.perf_counter()-t0:.1f}s", flush=True)
+            print(f"megabwd[{cname}]: value kernel={float(vk):.6g} "
+                  f"jnp={float(vj):.6g}", flush=True)
+            for k in keys:
+                a = np.asarray(gj[k]).reshape(-1)
+                b = np.asarray(gk[k]).reshape(-1)
+                if a.size == 0:
+                    continue
+                scale = max(np.abs(a).max(), 1e-20)
+                rel = np.abs(b - a).max() / scale
+                print(f"megabwd[{cname}]: d{k}: max-rel-diff {rel:.2e}",
+                      flush=True)
+        return 0
+
+    if "--env" in sys.argv:
+        # env-lit scene through the fused kernel on TPU: wall-clock vs the
+        # reference binary on the identical scene, plus image diff
+        import subprocess
+        import tempfile
+
+        import jax
+
+        from advanced_cpu_raytracing_tpu.scene.images import write_exr
+
+        h, w = 32, 64
+        ys, xs = np.mgrid[0:h, 0:w]
+        env = np.stack([
+            1.0 + 3.0 * xs / w,
+            0.5 + 2.0 * ys / h,
+            2.0 + np.where((ys > 8) & (ys < 14), 6.0, 0.0),
+        ], axis=-1).astype(np.float32)
+        td = pathlib.Path(tempfile.mkdtemp())
+        write_exr(str(td / "env.exr"), env)
+        xml = """<Scene>
+  <BackgroundColor>0 0 0</BackgroundColor>
+  <MaxRecursionDepth>2</MaxRecursionDepth>
+  <Cameras><Camera id="1">
+    <Position>0 1 4</Position><Gaze>0 -0.1 -1</Gaze><Up>0 1 0</Up>
+    <NearPlane>-1 1 -0.75 0.75</NearPlane><NearDistance>1</NearDistance>
+    <ImageResolution>800 600</ImageResolution>
+    <ImageName>feat_env_tpu.png</ImageName>
+  </Camera></Cameras>
+  <Lights>
+    <AmbientLight>5 5 5</AmbientLight>
+    <SphericalDirectionalLight id="1"><ImageId>1</ImageId>
+    </SphericalDirectionalLight>
+  </Lights>
+  <Materials>
+    <Material id="1"><AmbientReflectance>1 1 1</AmbientReflectance>
+      <DiffuseReflectance>0.6 0.6 0.6</DiffuseReflectance>
+      <SpecularReflectance>0.2 0.2 0.2</SpecularReflectance>
+      <PhongExponent>20</PhongExponent></Material>
+    <Material id="2" type="Mirror"><AmbientReflectance>0 0 0</AmbientReflectance>
+      <DiffuseReflectance>0.1 0.1 0.1</DiffuseReflectance>
+      <SpecularReflectance>0 0 0</SpecularReflectance>
+      <MirrorReflectance>0.9 0.9 0.9</MirrorReflectance>
+      <PhongExponent>1</PhongExponent></Material>
+  </Materials>
+  <Textures><Images><Image id="1">env.exr</Image></Images></Textures>
+  <VertexData>
+    -6 -1 4   6 -1 4   6 -1 -8   -6 -1 -8
+    0 0 -2
+  </VertexData>
+  <Objects>
+    <Mesh id="1"><Material>1</Material><Faces>1 2 3  1 3 4</Faces></Mesh>
+    <Sphere id="1"><Material>2</Material><Center>5</Center>
+      <Radius>1.0</Radius></Sphere>
+  </Objects>
+</Scene>"""
+        scene = td / "feat_env_tpu.xml"
+        scene.write_text(xml)
+
+        ref_dt = None
+        ref_png = None
+        try:
+            out = subprocess.run(["/root/reference/src/raytracer",
+                                  str(scene)], cwd=td, capture_output=True,
+                                 text=True, timeout=600)
+            import re as _re
+            m = _re.search(r"Rendering took: ([0-9.]+)s", out.stdout)
+            ref_dt = float(m.group(1)) if m else None
+            p = td / "feat_env_tpu.png"
+            if p.exists():
+                ref_png = p
+        except Exception as e:  # noqa: BLE001
+            print(f"env: reference run failed: {e}")
+
         cfg = load_scene(str(scene))
         pack = pack_scene(cfg)
-        cam = build_camera(cfg.cameras[0])
-        opts = options_for_camera(cfg, cfg.cameras[0])
-        assert bwd_eligible(pack.static, opts, pack)
-        nrays = 8192
-        rng = np.random.default_rng(0)
-        px = jnp.asarray(rng.uniform(0, 800, nrays).astype(np.float32))
-        py = jnp.asarray(rng.uniform(0, 800, nrays).astype(np.float32))
-        o, d = generate_rays(cam, px, py, jnp.zeros((nrays, 2)), dof=False)
-        keys = ("mat_ambient", "mat_diffuse", "mat_specular", "mat_mirror",
-                "mat_phong", "pl_intensity", "bg_color", "verts")
-        params = extract_params(pack, keys)
-        render = make_diff_render(pack, opts)
-
-        def loss_k(p):
-            return jnp.sum(jnp.asarray(render(p, o, d)) ** 2)
-
-        d_opts = RenderOptions(max_depth=opts.max_depth, differentiable=True,
-                               max_iters=opts.max_depth + 2)
-
-        def loss_j(p):
-            img = trace_radiance(inject_params(pack, p), cam, px, py,
-                                 jax.random.PRNGKey(0), d_opts)
-            return jnp.sum(img ** 2)
-
-        t0 = _time.perf_counter()
-        vk, gk = jax.jit(jax.value_and_grad(loss_k))(params)
-        jax.block_until_ready(gk)
-        print(f"megabwd: kernel compile+run {_time.perf_counter()-t0:.1f}s",
+        cam_cfg = cfg.cameras[0]
+        opts = options_for_camera(cfg, cam_cfg)
+        routed = _mega_route(pack, opts)
+        img = np.asarray(render_camera(pack, cfg, cam_cfg, seed=0, ldr=True))
+        t0 = time.perf_counter()
+        img = np.asarray(render_camera(pack, cfg, cam_cfg, seed=1, ldr=True))
+        dt = time.perf_counter() - t0
+        print(f"env: mega={routed} tpu {dt:.3f}s "
+              f"ref_cpu {ref_dt if ref_dt is not None else 'n/a'}s "
+              f"({(ref_dt / dt):.1f}x)" if ref_dt else
+              f"env: mega={routed} tpu {dt:.3f}s (no reference timing)",
               flush=True)
-        t0 = _time.perf_counter()
-        vj, gj = jax.jit(jax.value_and_grad(loss_j))(params)
-        jax.block_until_ready(gj)
-        print(f"megabwd: jnp oracle compile+run {_time.perf_counter()-t0:.1f}s",
-              flush=True)
-        print(f"megabwd: value kernel={float(vk):.6g} jnp={float(vj):.6g}",
-              flush=True)
-        for k in keys:
-            a = np.asarray(gj[k]).reshape(-1)
-            b = np.asarray(gk[k]).reshape(-1)
-            if a.size == 0:
-                continue
-            scale = max(np.abs(a).max(), 1e-20)
-            rel = np.abs(b - a).max() / scale
-            print(f"megabwd: d{k}: max-rel-diff {rel:.2e}", flush=True)
+        if ref_png is not None:
+            gold = np.asarray(Image.open(ref_png).convert("RGB")).astype(int)
+            d = np.abs(img.astype(int) - gold)
+            # surface shading is MC (independent streams): compare 8x8
+            # block means; the deterministic env background dominates
+            b = 8
+            hh, ww = (d.shape[0] // b) * b, (d.shape[1] // b) * b
+            blocks = np.abs(
+                img[:hh, :ww].astype(np.float64).reshape(
+                    hh // b, b, ww // b, b, 3).mean(axis=(1, 3))
+                - gold[:hh, :ww].astype(np.float64).reshape(
+                    hh // b, b, ww // b, b, 3).mean(axis=(1, 3)))
+            print(f"env: vs reference mean={d.mean():.3f} "
+                  f"blockmean={blocks.mean():.3f}", flush=True)
         return 0
 
     if "--perlin" in sys.argv:
