@@ -153,6 +153,14 @@ class MegaConsts:
     image_textures: tuple = ()
     img_diff: tuple = ()
     img_spec: tuple = ()
+    # texture ids per decal slot (round 4): replace_all short-circuit
+    # (raytracer.cpp:87-89), tangent-space normal maps (mesh.cpp:264-275),
+    # image height-field bump (mesh.cpp:310-357); TBN columns 30:36 of the
+    # tri table are precomputed per face on the host
+    img_ra: tuple = ()
+    img_normal: tuple = ()
+    img_bump: tuple = ()
+    has_tbn: bool = False
     # ---- spherical environment light (sphericalEnvironmentLight.h:8-64) ----
     # () or (width, height, row0, n_rows): raw HDR texels live as three
     # channel blocks of n_rows rows each at [row0, row0+3*n_rows) in the
@@ -216,17 +224,17 @@ def _textures_eligible(static, pack) -> bool:
       and — for bump — identity normal matrices, since the kernel only has
       world-space normals while the gradient projection happens against the
       object-space normal (shading.py::_apply_bump_normal_maps);
-    * LDR image — diffuse/specular decal modes (replace_kd/blend_kd/
-      replace_ks), integer texel values in 0..255 (the kernel packs RGB into
+    * LDR image — diffuse/specular/replace_all/normal-map/image-bump decal
+      modes, integer texel values in 0..255 (the kernel packs RGB into
       one f32 per texel), and <= _IMG_MAX_TEXELS texels so the row-masked
       lane gather stays cheap (HDR/EXR and megapixel textures fall back).
 
     Common gates: no custom BRDFs (the kernel's BRDF branch bakes kd
     statically), no motion (the hit point used for world-space Perlin
-    sampling would live in shifted-ray space), no sphere textures, no
-    normal-map / replace_all slots (image height-field bump likewise
-    falls back — it needs the UV-space forward differences + TBN of
-    mesh.cpp:310-357)."""
+    sampling would live in shifted-ray space), no sphere textures; entities
+    with normal-map / replace_all / bump slots must have identity normal
+    matrices, since the kernel's TBN columns live in world space while the
+    reference maps normals in object space (mesh.cpp:264-357)."""
     if pack is None or static.n_textures > 4 or static.has_motion:
         return False
     if getattr(static, "n_brdfs", 0) > 0:
@@ -242,7 +250,8 @@ def _textures_eligible(static, pack) -> bool:
     ok_perlin = {int(DecalMode.REPLACE_KD), int(DecalMode.BLEND_KD),
                  int(DecalMode.REPLACE_KS), int(DecalMode.BUMP_NORMAL)}
     ok_image = {int(DecalMode.REPLACE_KD), int(DecalMode.BLEND_KD),
-                int(DecalMode.REPLACE_KS)}
+                int(DecalMode.REPLACE_KS), int(DecalMode.REPLACE_ALL),
+                int(DecalMode.REPLACE_NORMAL), int(DecalMode.BUMP_NORMAL)}
     total_texels = 0
     for i in range(static.n_textures):
         if kind[i] == 1:
@@ -269,11 +278,13 @@ def _textures_eligible(static, pack) -> bool:
     if static.n_spheres and (np.asarray(pack.sph_tex) >= 0).any():
         return False
     et = np.asarray(pack.ent_tex)
-    if (et[:, SLOT_NORMAL] >= 0).any() or (et[:, SLOT_REPLACE_ALL] >= 0).any():
-        return False
-    bump_ents = np.where(et[:, SLOT_BUMP] >= 0)[0]
-    if len(bump_ents):
-        nrm = np.asarray(pack.ent_nrm)[bump_ents]
+    # TBN-dependent slots (normal map, image bump) and replace_all need the
+    # world==object identity (see docstring)
+    mapped = np.where((et[:, SLOT_NORMAL] >= 0)
+                      | (et[:, SLOT_REPLACE_ALL] >= 0)
+                      | (et[:, SLOT_BUMP] >= 0))[0]
+    if len(mapped):
+        nrm = np.asarray(pack.ent_nrm)[mapped]
         if not np.allclose(nrm, np.eye(3, dtype=np.float32), atol=1e-6):
             return False
     return True
@@ -300,11 +311,28 @@ def build_mega(pack, opts, host_rng: bool = False):
     has_tex = st.n_textures > 0
     kind_np = np.asarray(pack.tex_kind) if has_tex else np.zeros(0, np.int32)
     has_img = bool((kind_np == 0).any()) if has_tex else False
-    n_cols = 32 if has_img else (24 if (st.has_motion or has_tex) else 16)
+    if has_tex:
+        from advanced_cpu_raytracing_tpu.scene.pack import (
+            SLOT_NORMAL as _SN,
+            SLOT_REPLACE_ALL as _SR,
+            SLOT_BUMP as _SB,
+        )
+
+        _et = np.asarray(pack.ent_tex)
+        has_tbn = bool(has_img and (
+            (_et[:, _SN] >= 0).any()
+            or ((_et[:, _SB] >= 0)
+                & (kind_np[np.maximum(_et[:, _SB], 0)] == 0)).any()))
+    else:
+        has_tbn = False
+    n_cols = (40 if has_tbn else 32) if has_img \
+        else (24 if (st.has_motion or has_tex) else 16)
     tab = np.zeros((max(w, 1), n_cols), np.float32)
     tab[:, 13] = -1.0
     if has_tex:
         tab[:, 19:22] = -1.0
+        if has_img:
+            tab[:, 22:24] = -1.0
     if w:
         tab[:, 0:3] = np.asarray(pack.wi_v0)[:w]
         tab[:, 3:6] = np.asarray(pack.wi_v1)[:w]
@@ -330,12 +358,46 @@ def build_mega(pack, opts, host_rng: bool = False):
             tab[:, 20] = et[wi_ent, SLOT_SPECULAR].astype(np.float32)
             tab[:, 21] = et[wi_ent, SLOT_BUMP].astype(np.float32)
         if has_img:
+            from advanced_cpu_raytracing_tpu.scene.pack import (
+                SLOT_NORMAL,
+                SLOT_REPLACE_ALL,
+            )
+
+            tab[:, 22] = et[wi_ent, SLOT_REPLACE_ALL].astype(np.float32)
+            tab[:, 23] = et[wi_ent, SLOT_NORMAL].astype(np.float32)
             # per-face vertex UVs for barycentric interpolation
             # (_gather_tri_uv semantics: uvidx -1 -> uv 0, clamped gathers)
             uvi = np.asarray(pack.tri_uvidx)[np.asarray(pack.wi_face)[:w]]
             uvv = np.asarray(pack.uvs)[np.maximum(uvi, 0)]  # (w,3,2)
             uvv[uvi[:, 0] < 0] = 0.0
             tab[:, 24:30] = uvv.reshape(w, 6)
+        if has_tbn:
+            # per-face tangent/bitangent from UV edges in cols 30:36
+            # (Mesh::GetTangentAndBitangentForTriangle, mesh.cpp:390-422;
+            # shading.py::_tri_tangents — identity-normal-matrix entities
+            # only, so world edge vectors equal object ones)
+            def _nrm(v):
+                return v / np.maximum(
+                    np.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
+
+            def _tile(u):
+                frac = u - np.floor(u)
+                frac = np.where(frac < 0.0001, 1.0, frac)
+                return np.where(u > 1.0001, frac, u)
+
+            e1 = _nrm(tab[:w, 3:6] - tab[:w, 0:3])
+            e2 = _nrm(tab[:w, 6:9] - tab[:w, 3:6])
+            uvt = _tile(tab[:w, 24:30].reshape(w, 3, 2))
+            u1 = uvt[:, 1, 0] - uvt[:, 0, 0]
+            w1 = uvt[:, 1, 1] - uvt[:, 0, 1]
+            u2 = uvt[:, 2, 0] - uvt[:, 1, 0]
+            w2 = uvt[:, 2, 1] - uvt[:, 1, 1]
+            det = u1 * w2 - w1 * u2
+            det = 1.0 / np.where(det == 0, 1e-20, det)
+            tan = (w2[:, None] * e1 - w1[:, None] * e2) * det[:, None]
+            bitan = (-u2[:, None] * e1 + u1[:, None] * e2) * det[:, None]
+            tab[:w, 30:33] = _nrm(tan)
+            tab[:w, 33:36] = _nrm(bitan)
 
     n_chunks = max((w + CHUNK - 1) // CHUNK, 1)
     ctab = np.zeros((n_chunks, 8), np.float32)
@@ -485,7 +547,7 @@ def build_mega(pack, opts, host_rng: bool = False):
     perlin_tex = ()
     p_diff = p_spec = p_bump = ()
     image_tex = ()
-    i_diff = i_spec = ()
+    i_diff = i_spec = i_bump = i_ra = i_nm = ()
     img_tab = np.zeros((1, LANES), np.float32)
     if has_tex:
         nscale = np.asarray(pack.tex_noise_scale)
@@ -537,11 +599,15 @@ def build_mega(pack, opts, host_rng: bool = False):
                 entries.append((
                     int(interp_np[i]),
                     int(int(decal[i]) == int(DecalMode.BLEND_KD)),
-                    iw, ih, img_row0[img], -(-(iw * ih) // LANES)))
+                    iw, ih, img_row0[img], -(-(iw * ih) // LANES),
+                    float(bumpf[i])))
             image_tex = tuple(entries)
             img_tab = np.concatenate(rows_list, axis=0)
             i_diff = slotted(19, 0)
             i_spec = slotted(20, 0)
+            i_bump = slotted(21, 0)
+            i_ra = slotted(22, 0)
+            i_nm = slotted(23, 0)
 
     # spherical env light: raw HDR texels appended to the img table as three
     # channel blocks (R rows, G rows, B rows) for the row-masked lane gather
@@ -596,6 +662,10 @@ def build_mega(pack, opts, host_rng: bool = False):
         image_textures=image_tex,
         img_diff=i_diff,
         img_spec=i_spec,
+        img_ra=i_ra,
+        img_normal=i_nm,
+        img_bump=i_bump,
+        has_tbn=has_tbn,
         env=env,
     )
     return mc, jnp.asarray(tab), jnp.asarray(ctab), jnp.asarray(img_tab)
@@ -744,14 +814,16 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             frac = jnp.where(frac < 0.0001, 1.0, frac)
             return jnp.where(x > 1.0001, frac, x)
 
-        def img_sample(ti_, uu, vv):
-            """RGB/255 at tiled UV for texture ti_: nearest (imageTexture.h:
-            60-70) or bilinear with edge-clamped +1 taps (imageTexture.h:
-            77-133 via ops/texture.py::sample_bilinear).  Texels live in the
-            packed f32 pool (r + 256 g + 65536 b) and are fetched with the
-            same row-masked lane-wise take_along_axis gather as the Perlin
-            perm table — n_rows masked vector ops per tap."""
-            interp, _blend, iw, ih, row0, n_rows = mc.image_textures[ti_]
+        def img_sample(ti_, uu, vv, raw=False):
+            """RGB at tiled UV for texture ti_ (scaled by 1/255 unless
+            ``raw``): nearest (imageTexture.h:60-70) or bilinear with
+            edge-clamped +1 taps (imageTexture.h:77-133 via
+            ops/texture.py::sample_bilinear).  Texels live in the packed f32
+            pool (r + 256 g + 65536 b) and are fetched with the same
+            row-masked lane-wise take_along_axis gather as the Perlin perm
+            table — n_rows masked vector ops per tap."""
+            interp, _blend, iw, ih, row0, n_rows, _bf = \
+                mc.image_textures[ti_]
             fw, fh = float(iw), float(ih)
             if interp == 0:  # nearest
                 i_ = jnp.clip(jnp.floor(uu * fw), 0.0, fw - 1.0)
@@ -793,8 +865,29 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
                 r_ = sum(w_ * c[0] for w_, c in zip(wts, rgbs))
                 g_ = sum(w_ * c[1] for w_, c in zip(wts, rgbs))
                 b_ = sum(w_ * c[2] for w_, c in zip(wts, rgbs))
+            if raw:
+                return r_, g_, b_
             s = 1.0 / 255.0  # raytracer.cpp:494 normalization
             return r_ * s, g_ * s, b_ * s
+
+        def img_grey_at(ti_, ii, jj):
+            """Mean-channel greyscale at INTEGER texel coords (the image
+            bump path's taps, mesh.cpp:317-329: greyscale = (r+g+b)/3, no
+            normalizer)."""
+            _interp, _b, iw, ih, row0, n_rows, _bf = mc.image_textures[ti_]
+            idx = (jj * iw + ii).astype(jnp.int32)
+            lane = jnp.bitwise_and(idx, 127)
+            row = jnp.right_shift(idx, 7)
+            out = ZERO
+            for r in range(n_rows):
+                brow = jnp.broadcast_to(
+                    img_ref[row0 + r:row0 + r + 1, :], shape)
+                g = jnp.take_along_axis(brow, lane, axis=1)
+                out = out + jnp.where(row == r, g, 0.0)
+            b_ = jnp.floor(out * (1.0 / 65536.0))
+            rem = out - b_ * 65536.0
+            g_ = jnp.floor(rem * (1.0 / 256.0))
+            return (rem - g_ * 256.0 + g_ + b_) * (1.0 / 3.0)
 
     # ---- spherical environment light (sphericalEnvironmentLight.h:8-64;
     # render/lights.py::env_sample_radiance) ----
@@ -1000,10 +1093,15 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         culling chunk alive — as a block's shading tree dies down, whole
         triangle chunks stop being swept."""
         per = bool(mc.perlin_textures) or bool(mc.image_textures)
-        needs_uv = bool(mc.img_diff or mc.img_spec)
+        n_slots = (5 if (mc.img_ra or mc.img_normal) else 3) if per else 0
+        needs_tbn = mc.has_tbn
+        needs_uv = bool(mc.img_diff or mc.img_spec or mc.img_ra
+                        or mc.img_normal or mc.img_bump)
+        tbn_at = 6 + n_slots
         neg1 = jnp.full(shape, -1.0)
         init = (jnp.where(active, BIG, 0.0), ZERO, ZERO, ONE, ZERO, neg1) \
-            + ((neg1, neg1, neg1) if per else ()) \
+            + (neg1,) * n_slots \
+            + ((ZERO,) * 6 if needs_tbn else ()) \
             + ((ZERO, ZERO) if needs_uv else ())
 
         def body(ti, carry):
@@ -1018,10 +1116,13 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
                 jnp.where(better, tri_ref[ti, 12], mf),
                 jnp.where(better, tri_ref[ti, 13], ml),
             )
-            if per:
+            out = out + tuple(
+                jnp.where(better, tri_ref[ti, 19 + k], carry[6 + k])
+                for k in range(n_slots))
+            if needs_tbn:
                 out = out + tuple(
-                    jnp.where(better, tri_ref[ti, 19 + k], carry[6 + k])
-                    for k in range(3))
+                    jnp.where(better, tri_ref[ti, 30 + k], carry[tbn_at + k])
+                    for k in range(6))
             if needs_uv:
                 # uv = uv0 + beta (uv1-uv0) + gamma (uv2-uv0), untiled
                 # (_gather_tri_uv; tiling happens once on the winner)
@@ -1039,7 +1140,8 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             init = chunk_sweep(px, py, pz, vx, vy, vz, body, init,
                                live_of=lambda c: c[0])
         t_b, nx, ny, nz, mf, ml = init[:6]
-        tslots = init[6:9] if per else None
+        tslots = init[6:6 + n_slots] if per else None
+        tbn = init[tbn_at:tbn_at + 6] if needs_tbn else None
         uv = init[-2:] if needs_uv else None
         for s in mc.spheres:
             t, valid, nwx, nwy, nwz = sphere_hit(s, px, py, pz, vx, vy, vz)
@@ -1057,7 +1159,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
                 uv = tuple(jnp.where(better, 0.0, u_) for u_ in uv)
         hit = t_b < (BIG * 0.5)
         nx, ny, nz = norm3(nx, ny, nz)
-        return t_b, nx, ny, nz, mf, ml, hit, tslots, uv
+        return t_b, nx, ny, nz, mf, ml, hit, tslots, tbn, uv
 
     def shadow(px, py, pz, vx, vy, vz, limit, gate):
         """Occlusion along unit direction v up to `limit` for lanes in
@@ -1164,7 +1266,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
                 (sp, s_ox, s_oy, s_oz, s_dx, s_dy, s_dz, s_wx, s_wy, s_wz,
                  s_ax, s_ay, s_az, s_med, s_dep) = c[base_i:]
 
-        t, nx, ny, nz, matf, mlf, hitv, tslots, hituv = trace(
+        t, nx, ny, nz, matf, mlf, hitv, tslots, hittbn, hituv = trace(
             cox, coy, coz, cdx, cdy, cdz, cact)
         hit = hitv & cact
         t_safe = jnp.where(hit, t, 0.0)
@@ -1203,7 +1305,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         # _textures_eligible).  Applied before everything downstream — GI
         # basis, shadow origins, specular children — like surface_at does.
         if mc.perlin_bump:
-            td_f, ts_f, tb_f = tslots
+            td_f, ts_f, tb_f = tslots[:3]
             beps = 1e-3
             for ti_ in mc.perlin_bump:
                 nsc, cv, _bl, bf = mc.perlin_textures[ti_]
@@ -1220,13 +1322,75 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
                 ny = jnp.where(m_, by, ny)
                 nz = jnp.where(m_, bz, nz)
         elif mc.perlin_textures or mc.image_textures:
-            td_f, ts_f, tb_f = tslots
+            td_f, ts_f, tb_f = tslots[:3]
 
-        if mc.img_diff or mc.img_spec:
+        if (mc.img_diff or mc.img_spec or mc.img_ra or mc.img_normal
+                or mc.img_bump):
             # tile the winner's interpolated UV once (mesh.cpp:256-258);
             # no-UV faces carry uv=(0,0), which tiles to itself
             uu = tile_uv_k(hituv[0])
             vv = tile_uv_k(hituv[1])
+        if mc.img_ra or mc.img_normal:
+            ra_f = tslots[3]
+            nm_f = tslots[4]
+
+        # tangent-space normal map (mesh.cpp:264-275; GetTransformedNormal,
+        # helperMath.cpp:86-108): sampled rgb/127.5-1 mapped through the
+        # per-face TBN columns carried by the trace fold
+        if mc.img_normal:
+            tnx, tny, tnz, tbx, tby, tbz = hittbn
+            for ti_ in mc.img_normal:
+                sr, sg, sb = img_sample(ti_, uu, vv, raw=True)
+                sxn, syn, szn = norm3(sr / 127.5 - 1.0, sg / 127.5 - 1.0,
+                                      sb / 127.5 - 1.0)
+                mpx, mpy, mpz = norm3(tnx * sxn + tbx * syn + nx * szn,
+                                      tny * sxn + tby * syn + ny * szn,
+                                      tnz * sxn + tbz * syn + nz * szn)
+                m_ = nm_f == float(ti_)
+                nx = jnp.where(m_, mpx, nx)
+                ny = jnp.where(m_, mpy, ny)
+                nz = jnp.where(m_, mpz, nz)
+
+        # image height-field bump (mesh.cpp:310-357): UV-space forward
+        # differences on mean-channel greyscale; skipped where a normal map
+        # already fired (shading.py::_apply_bump_normal_maps)
+        if mc.img_bump:
+            tnx, tny, tnz, tbx, tby, tbz = hittbn
+            for ti_ in mc.img_bump:
+                _i, _b2, iwd, ihd, _r0, _nr, bf = mc.image_textures[ti_]
+                fw1 = float(iwd - 1)
+                fh1 = float(ihd - 1)
+                iw_ = jnp.clip((uu * fw1).astype(jnp.int32), 0, iwd - 1)
+                jh_ = jnp.clip((vv * fh1).astype(jnp.int32), 0, ihd - 1)
+                i1 = jnp.minimum(iw_ + 1, iwd - 1)
+                j1 = jnp.minimum(jh_ + 1, ihd - 1)
+                h_uv = img_grey_at(ti_, iw_, jh_)
+                h_du = img_grey_at(ti_, i1, jh_)
+                h_dv = img_grey_at(ti_, iw_, j1)
+                qux = tnx + nx * ((h_du - h_uv) * bf)
+                quy = tny + ny * ((h_du - h_uv) * bf)
+                quz = tnz + nz * ((h_du - h_uv) * bf)
+                qvx = tbx + nx * ((h_dv - h_uv) * bf)
+                qvy = tby + ny * ((h_dv - h_uv) * bf)
+                qvz = tbz + nz * ((h_dv - h_uv) * bf)
+                nix, niy, niz = norm3(qvy * quz - qvz * quy,
+                                      qvz * qux - qvx * quz,
+                                      qvx * quy - qvy * qux)
+                # orientation fixups (mesh.cpp:345-354)
+                flip1 = ((nix * nx <= 0) & (niy * ny <= 0)
+                         & (niz * nz <= 0))
+                flip2 = ((jnp.abs(nix - nx) > 0.9) | (jnp.abs(niy - ny) > 0.9)
+                         | (jnp.abs(niz - nz) > 0.9))
+                flip = flip1 | flip2
+                nix = jnp.where(flip, -nix, nix)
+                niy = jnp.where(flip, -niy, niy)
+                niz = jnp.where(flip, -niz, niz)
+                m_ = tb_f == float(ti_)
+                if mc.img_normal:
+                    m_ = m_ & (nm_f < 0.0)
+                nx = jnp.where(m_, nix, nx)
+                ny = jnp.where(m_, niy, ny)
+                nz = jnp.where(m_, niz, nz)
 
         inside = (cmed > 1.00001) if diel else FALSE
 
@@ -1240,6 +1404,18 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             lg = lg + jnp.where(gate_em, cwy * emy * (2.0 * float(np.pi)), 0.0)
             lb = lb + jnp.where(gate_em, cwz * emz * (2.0 * float(np.pi)), 0.0)
             shadeable = hit & (~is_em)
+
+        # replace_all decal short-circuits shading with the RAW texture
+        # sample (raytracer.cpp:87-89; integrator.py:233-238): no lighting,
+        # no children
+        if mc.img_ra:
+            for ti_ in mc.img_ra:
+                rr_, gg_, bb_ = img_sample(ti_, uu, vv, raw=True)
+                m_ = shadeable & (ra_f == float(ti_))
+                lr = lr + jnp.where(m_, cwx * rr_, 0.0)
+                lg = lg + jnp.where(m_, cwy * gg_, 0.0)
+                lb = lb + jnp.where(m_, cwz * bb_, 0.0)
+            shadeable = shadeable & (ra_f < 0.0)
 
         lit = shadeable & (~inside)
 
@@ -1279,8 +1455,8 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             goz = pz + nz * 1e-4
             # trace the GI ray now: the reference suppresses NEE for the
             # mesh light its GI ray hit (raytracer.cpp:180-188, 778-781)
-            g_t, _, _, _, _, g_ml, g_hit, _, _ = trace(gox, goy, goz,
-                                                       gdx, gdy, gdz, gi_alive)
+            g_t, _, _, _, _, g_ml, g_hit, _, _, _ = trace(
+                gox, goy, goz, gdx, gdy, gdz, gi_alive)
             g_hit = g_hit & gi_alive
             if len(mc.mesh_lights) > 0:
                 skip_ml = jnp.where(g_hit & (g_ml >= 0.0), g_ml, -1.0)
@@ -1635,7 +1811,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
 
             if mc.has_mirror:
                 mirx, miry, mirz = mat_field3(matf, lambda m: m[4])
-                mm = hit & mat_mask(matf, _MIRROR) & can
+                mm = shadeable & mat_mask(matf, _MIRROR) & can
                 new_act = new_act | mm
                 nox = jnp.where(mm, px + nx * eps, nox)
                 noy = jnp.where(mm, py + ny * eps, noy)
@@ -1663,7 +1839,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
                 rp = (n2k2 * cos2 - two + 1.0) / jnp.maximum(
                     n2k2 * cos2 + two + 1.0, 1e-20)
                 ratio = 0.5 * (rs + rp)
-                cm = hit & mat_mask(matf, _CONDUCTOR) & can & (ratio > 1e-4)
+                cm = shadeable & mat_mask(matf, _CONDUCTOR) & can & (ratio > 1e-4)
                 new_act = new_act | cm
                 nox = jnp.where(cm, px + nx * eps, nox)
                 noy = jnp.where(cm, py + ny * eps, noy)
@@ -1704,7 +1880,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
                     rdx, rdy, rdz = perturb(rdx, rdy, rdz, rp1, rp2)
 
                 # TIR: reflect only, weight 1, medium kept (292-311)
-                is_tir = hit & is_diel & tir & can
+                is_tir = shadeable & is_diel & tir & can
                 new_act = new_act | is_tir
                 tin = is_tir & (cmed > 1.0001)
                 nox = jnp.where(is_tir, px + nmx * eps, nox)
@@ -1728,7 +1904,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
                 r_refl = 0.5 * (rpar * rpar + rperp * rperp)
                 r_refr = 1.0 - r_refl
 
-                is_rl = hit & is_diel & (~tir) & can
+                is_rl = shadeable & is_diel & (~tir) & can
                 new_act = new_act | is_rl
                 rin = is_rl & (obj_n > 1.00001)
                 nox = jnp.where(is_rl, px + nmx * eps, nox)

@@ -755,10 +755,15 @@ def test_megakernel_image_texture_eligibility(tmp_path):
     write_exr(str(exr), rng.uniform(0.0, 2.0, (8, 16, 3)).astype(np.float32))
     assert not check(exr)
 
-    # normal-map decal -> fallback
-    assert not check(ok_png, lambda x: x.replace(
+    # normal-map decal routes in-kernel since round 4
+    assert check(ok_png, lambda x: x.replace(
         "<DecalMode>replace_ks</DecalMode>",
         "<DecalMode>replace_normal</DecalMode>"))
+
+    # background-replace decal still falls back (no bg texture in-kernel)
+    assert not check(ok_png, lambda x: x.replace(
+        "<DecalMode>replace_ks</DecalMode>",
+        "<DecalMode>replace_background</DecalMode>"))
 
 
 def _env_scene(tmp_path, mirror: bool = True):
@@ -890,3 +895,110 @@ def test_megakernel_env_eligibility(tmp_path):
     pack2 = pack_scene(cfg2)
     assert not _me(pack2.static, options_for_camera(cfg2, cfg2.cameras[0]),
                    pack2)
+
+
+MAPS_SCENE = """<Scene>
+  <BackgroundColor>6 6 10</BackgroundColor>
+  <MaxRecursionDepth>2</MaxRecursionDepth>
+  <ShadowRayEpsilon>1e-3</ShadowRayEpsilon>
+  <Cameras><Camera id="1">
+    <Position>0 1.2 4</Position><Gaze>0 -0.25 -1</Gaze><Up>0 1 0</Up>
+    <NearPlane>-1 1 -0.75 0.75</NearPlane><NearDistance>1</NearDistance>
+    <ImageResolution>320 240</ImageResolution>
+    <ImageName>megamaps.png</ImageName>
+  </Camera></Cameras>
+  <Lights>
+    <AmbientLight>25 25 25</AmbientLight>
+    <PointLight id="1"><Position>2 4 2</Position>
+      <Intensity>900 900 900</Intensity></PointLight>
+  </Lights>
+  <Materials>
+    <Material id="1"><AmbientReflectance>1 1 1</AmbientReflectance>
+      <DiffuseReflectance>0.7 0.5 0.4</DiffuseReflectance>
+      <SpecularReflectance>0.3 0.3 0.3</SpecularReflectance>
+      <PhongExponent>25</PhongExponent></Material>
+    <Material id="2"><AmbientReflectance>1 1 1</AmbientReflectance>
+      <DiffuseReflectance>0.2 0.4 0.8</DiffuseReflectance>
+      <SpecularReflectance>0.5 0.5 0.5</SpecularReflectance>
+      <PhongExponent>60</PhongExponent></Material>
+  </Materials>
+  <Textures>
+    <Images>
+      <Image id="1">{img1}</Image>
+      <Image id="2">{img2}</Image>
+    </Images>
+    <TextureMap id="1" type="image">
+      <DecalMode>replace_normal</DecalMode><ImageId>1</ImageId>
+      <Interpolation>nearest</Interpolation>
+    </TextureMap>
+    <TextureMap id="2" type="image">
+      <DecalMode>bump_normal</DecalMode><ImageId>2</ImageId>
+      <Interpolation>nearest</Interpolation>
+      <BumpFactor>2.5</BumpFactor>
+    </TextureMap>
+    <TextureMap id="3" type="image">
+      <DecalMode>replace_all</DecalMode><ImageId>2</ImageId>
+      <Interpolation>bilinear</Interpolation>
+    </TextureMap>
+  </Textures>
+  <VertexData>
+    -8 -1 4   8 -1 4   8 -1 -12   -8 -1 -12
+    -3 -1 1   -1 -1 1   -1 1 1    -3 1 1
+    1 -1 0.5   3 -1 0.5   3 1 0.5   1 1 0.5
+  </VertexData>
+  <TexCoordData>
+    0 3   3 3   3 0   0 0
+    0 1   1 1   1 0   0 0
+    0 1   1 1   1 0   0 0
+  </TexCoordData>
+  <Objects>
+    <Mesh id="1"><Material>1</Material>
+      <Textures>2</Textures>
+      <Faces>1 2 3  1 3 4</Faces></Mesh>
+    <Mesh id="2"><Material>2</Material>
+      <Textures>1</Textures>
+      <Faces vertexOffset="4" textureOffset="4">1 2 3  1 3 4</Faces></Mesh>
+    <Mesh id="3"><Material>2</Material>
+      <Textures>3</Textures>
+      <Faces vertexOffset="8" textureOffset="8">1 2 3  1 3 4</Faces></Mesh>
+  </Objects>
+</Scene>"""
+
+
+def test_megakernel_normal_bump_replaceall(tmp_path):
+    """Round 4: tangent-space normal maps, image height-field bump, and
+    replace_all decals run in-kernel (TBN columns 30:36 of the tri table,
+    raw-sample short circuit) — deterministic, so kernel == wavefront."""
+    from advanced_cpu_raytracing_tpu.ops.pallas.megakernel import (
+        build_mega as _bm,
+        mega_eligible as _me,
+        mega_trace as _mt,
+    )
+    from advanced_cpu_raytracing_tpu.render.renderer import options_for_camera
+
+    img1 = tmp_path / "nm.png"
+    img2 = tmp_path / "bump.png"
+    _write_test_png(img1, 16, 16, 5)
+    _write_test_png(img2, 33, 7, 6)
+    p = tmp_path / "megamaps.xml"
+    p.write_text(MAPS_SCENE.format(img1=img1, img2=img2))
+    cfg = load_scene(str(p))
+    pack = pack_scene(cfg)
+    assert pack.static.n_textures == 3
+    opts = options_for_camera(cfg, cfg.cameras[0])
+    assert _me(pack.static, opts, pack)
+    mc, tab, ctab, img_tab = _bm(pack, opts)
+    assert mc.img_normal and mc.img_bump and mc.img_ra and mc.has_tbn
+    cam = build_camera(cfg.cameras[0])
+    rng = np.random.default_rng(13)
+    n = 2048
+    px = jnp.asarray(rng.uniform(0, 320, n).astype(np.float32))
+    py = jnp.asarray(rng.uniform(0, 240, n).astype(np.float32))
+    o, d = cam_mod.generate_rays(cam, px, py, jnp.zeros((n, 2)), dof=False)
+    l_mega = np.asarray(_mt(mc, tab, ctab, o, d, interpret=True,
+                            img_tab=img_tab))
+    l_jnp = np.asarray(trace_radiance(pack, cam, px, py,
+                                      jax.random.PRNGKey(0), opts))
+    diff = np.abs(l_mega - l_jnp)
+    assert np.mean(diff) < 0.02, np.mean(diff)
+    assert np.quantile(diff, 0.995) < 1.0, np.quantile(diff, 0.995)
