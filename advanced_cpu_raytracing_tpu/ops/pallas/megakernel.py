@@ -83,6 +83,10 @@ _EMISSIVE = int(MaterialType.EMISSIVE)
 # pointer chasing (reference bvh.cpp:5-31).
 CHUNK = 128
 
+# VMEM-residency ceiling for the tri table (mirrors pack.MEGA_MAX_FACES);
+# larger scenes stream chunks from HBM
+_VMEM_MAX_FACES = 98304
+
 
 def _perm512_table() -> np.ndarray:
     """Perlin permutation table duplicated to 512 entries, shaped (4, 128)
@@ -161,6 +165,11 @@ class MegaConsts:
     img_normal: tuple = ()
     img_bump: tuple = ()
     has_tbn: bool = False
+    # geometry beyond the VMEM budget: the tri table stays in HBM and each
+    # chunk that survives the per-block AABB cull is DMA'd into a VMEM
+    # scratch before its 128-face sweep (lifts the 98,304-face ceiling to
+    # STREAM_MAX_FACES; mesh.cpp:23-156 handles any face count)
+    stream_geo: bool = False
     # ---- spherical environment light (sphericalEnvironmentLight.h:8-64) ----
     # () or (width, height, row0, n_rows): raw HDR texels live as three
     # channel blocks of n_rows rows each at [row0, row0+3*n_rows) in the
@@ -188,6 +197,10 @@ def mega_eligible(static, opts, pack=None) -> bool:
         and opts.max_depth <= 10
         # mesh lights: the NEE face loop unrolls per face
         and static.n_mesh_lights <= 4
+        # beyond the VMEM budget the tri table streams from HBM; mesh
+        # lights (static-row gathers) and textures stay resident-only
+        and (static.n_work_items <= _VMEM_MAX_FACES
+             or (static.n_textures == 0 and static.n_mesh_lights == 0))
     )
     if not base:
         return False
@@ -627,6 +640,15 @@ def build_mega(pack, opts, host_rng: bool = False):
         img_tab = np.concatenate([np.asarray(img_tab)] + blocks, axis=0)
         env = (ew, eh, erow0, n_rows_e)
 
+    # HBM-streamed geometry: pad the table to whole chunks so the per-chunk
+    # DMA never overruns (padding rows are degenerate: det == 0 -> invalid)
+    stream_geo = w > _VMEM_MAX_FACES
+    if stream_geo:
+        pad_rows = (-tab.shape[0]) % CHUNK
+        if pad_rows:
+            tab = np.concatenate(
+                [tab, np.zeros((pad_rows, n_cols), np.float32)], axis=0)
+
     mc = MegaConsts(
         n_tri=w,
         spheres=tuple(spheres),
@@ -666,6 +688,7 @@ def build_mega(pack, opts, host_rng: bool = False):
         img_normal=i_nm,
         img_bump=i_bump,
         has_tbn=has_tbn,
+        stream_geo=stream_geo,
         env=env,
     )
     return mc, jnp.asarray(tab), jnp.asarray(ctab), jnp.asarray(img_tab)
@@ -681,7 +704,17 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
     rest = list(rest)
     perm_ref = rest.pop(0) if mc.perlin_textures else None
     img_ref = rest.pop(0) if (mc.image_textures or mc.env) else None
-    lx_ref, ly_ref, lz_ref = rest
+    lx_ref, ly_ref, lz_ref = rest[:3]
+    if mc.stream_geo:
+        geo_scr, geo_sem = rest[3], rest[4]
+
+    # geometry accessor: the sweeps read faces through _geo so the streaming
+    # chunk loop can rebind them to the DMA'd VMEM scratch (local indices)
+    # while resident scenes read tri_ref directly (global indices)
+    _geo = {"ref": tri_ref}
+
+    def gref(ti, col):
+        return _geo["ref"][ti, col]
     shape = (ROWS, LANES)
     ZERO = jnp.zeros(shape, jnp.float32)
     ONE = jnp.ones(shape, jnp.float32)
@@ -975,18 +1008,18 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         offsets the ray origin by +motion*time (equivalence argument in
         ops/traverse.py; mesh.cpp:167-170)."""
         if mc.has_motion:
-            px = px + tri_ref[ti, 16] * tau
-            py = py + tri_ref[ti, 17] * tau
-            pz = pz + tri_ref[ti, 18] * tau
-        v0x = tri_ref[ti, 0]
-        v0y = tri_ref[ti, 1]
-        v0z = tri_ref[ti, 2]
-        e1x = v0x - tri_ref[ti, 3]
-        e1y = v0y - tri_ref[ti, 4]
-        e1z = v0z - tri_ref[ti, 5]
-        e2x = v0x - tri_ref[ti, 6]
-        e2y = v0y - tri_ref[ti, 7]
-        e2z = v0z - tri_ref[ti, 8]
+            px = px + gref(ti, 16) * tau
+            py = py + gref(ti, 17) * tau
+            pz = pz + gref(ti, 18) * tau
+        v0x = gref(ti, 0)
+        v0y = gref(ti, 1)
+        v0z = gref(ti, 2)
+        e1x = v0x - gref(ti, 3)
+        e1y = v0y - gref(ti, 4)
+        e1z = v0z - gref(ti, 5)
+        e2x = v0x - gref(ti, 6)
+        e2y = v0y - gref(ti, 7)
+        e2z = v0z - gref(ti, 8)
         bx = v0x - px
         by = v0y - py
         bz = v0z - pz
@@ -1074,6 +1107,22 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
             tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
             enter = (tmax > 0) & (tmax >= tmin) & (tmin < t_b)
+            if mc.stream_geo:
+                # HBM-streamed: DMA the surviving chunk's 128 faces into the
+                # VMEM scratch, then sweep it with LOCAL indices (the
+                # padding rows past n_tri are degenerate -> never valid)
+                def run(c):
+                    cp = pltpu.make_async_copy(
+                        tri_ref.at[pl.ds(ci * CHUNK, CHUNK), :],
+                        geo_scr, geo_sem)
+                    cp.start()
+                    cp.wait()
+                    _geo["ref"] = geo_scr
+                    out = jax.lax.fori_loop(0, CHUNK, body, c)
+                    _geo["ref"] = tri_ref
+                    return out
+
+                return jax.lax.cond(jnp.any(enter), run, lambda c: c, carry)
             lo = ci * CHUNK
             hi = jnp.minimum(lo + CHUNK, mc.n_tri)
             return jax.lax.cond(
@@ -1110,28 +1159,28 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             better = valid & (t < t_b)
             out = (
                 jnp.where(better, t, t_b),
-                jnp.where(better, tri_ref[ti, 9], nx),
-                jnp.where(better, tri_ref[ti, 10], ny),
-                jnp.where(better, tri_ref[ti, 11], nz),
-                jnp.where(better, tri_ref[ti, 12], mf),
-                jnp.where(better, tri_ref[ti, 13], ml),
+                jnp.where(better, gref(ti, 9), nx),
+                jnp.where(better, gref(ti, 10), ny),
+                jnp.where(better, gref(ti, 11), nz),
+                jnp.where(better, gref(ti, 12), mf),
+                jnp.where(better, gref(ti, 13), ml),
             )
             out = out + tuple(
-                jnp.where(better, tri_ref[ti, 19 + k], carry[6 + k])
+                jnp.where(better, gref(ti, 19 + k), carry[6 + k])
                 for k in range(n_slots))
             if needs_tbn:
                 out = out + tuple(
-                    jnp.where(better, tri_ref[ti, 30 + k], carry[tbn_at + k])
+                    jnp.where(better, gref(ti, 30 + k), carry[tbn_at + k])
                     for k in range(6))
             if needs_uv:
                 # uv = uv0 + beta (uv1-uv0) + gamma (uv2-uv0), untiled
                 # (_gather_tri_uv; tiling happens once on the winner)
-                u0 = tri_ref[ti, 24]
-                v0 = tri_ref[ti, 25]
-                ui = u0 + beta * (tri_ref[ti, 26] - u0) \
-                    + gamma * (tri_ref[ti, 28] - u0)
-                vi = v0 + beta * (tri_ref[ti, 27] - v0) \
-                    + gamma * (tri_ref[ti, 29] - v0)
+                u0 = gref(ti, 24)
+                v0 = gref(ti, 25)
+                ui = u0 + beta * (gref(ti, 26) - u0) \
+                    + gamma * (gref(ti, 28) - u0)
+                vi = v0 + beta * (gref(ti, 27) - v0) \
+                    + gamma * (gref(ti, 29) - v0)
                 out = out + (jnp.where(better, ui, carry[-2]),
                              jnp.where(better, vi, carry[-1]))
             return out
@@ -1172,7 +1221,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             t, valid, _, _ = tri_hit(ti, px, py, pz, vx, vy, vz)
             if mc.has_emissive:
                 # CastShadowRay skips emissive meshes (raytracer.cpp:590-593)
-                valid = valid & (tri_ref[ti, 14] < 0.5)
+                valid = valid & (gref(ti, 14) < 0.5)
             return jnp.maximum(
                 blocked, jnp.where(valid & (t < limit), 1.0, 0.0))
 
@@ -2098,6 +2147,9 @@ def mega_trace_flat(mc: MegaConsts, tri_tab, chunk_tab, o, d,
     ray_spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     tri_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    # streamed geometry stays in HBM; the kernel DMAs surviving chunks
+    geo_spec = (pl.BlockSpec(memory_space=pltpu.ANY) if mc.stream_geo
+                else tri_spec)
     out_spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     out_shape = [jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32)] * 3
@@ -2125,13 +2177,21 @@ def mega_trace_flat(mc: MegaConsts, tri_tab, chunk_tab, o, d,
         extra_in.append(img_tab)
         extra_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
 
+    scratch_shapes = []
+    if mc.stream_geo:
+        scratch_shapes = [
+            pltpu.VMEM((CHUNK, int(tri_tab.shape[1])), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+
     lx, ly, lz = pl.pallas_call(
         functools.partial(_kernel, mc=mc),
         grid=grid,
-        in_specs=([ray_spec] * 6 + [tri_spec] * 2 + [seed_spec, rng_spec]
-                  + extra_specs),
+        in_specs=([ray_spec] * 6 + [geo_spec, tri_spec]
+                  + [seed_spec, rng_spec] + extra_specs),
         out_specs=[out_spec] * 3,
         out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(*cols, tri_tab, chunk_tab, seed_arr, rng_tab, *extra_in)
     return lx.reshape(-1)[:r], ly.reshape(-1)[:r], lz.reshape(-1)[:r]

@@ -266,11 +266,13 @@ def _face_props(verts: np.ndarray, tris: np.ndarray):
 # dense masked min-reduction beats pointer chasing for small scenes.
 BRUTE_FORCE_MAX_ITEMS = 2048
 
-# Megakernel geometry ceiling: world-space work items (wi_*) are packed for
-# any scene up to this size so the fused Pallas integrator can keep the whole
-# triangle soup VMEM-resident (96k faces x 16 cols x 4 B = 6 MiB of the
-# ~16 MiB VMEM; chunk culling keeps the sweep cost sublinear).
+# Megakernel VMEM-residency ceiling: up to this many faces the fused Pallas
+# integrator keeps the whole triangle soup VMEM-resident (96k faces x 16
+# cols x 4 B = 6 MiB of the ~16 MiB VMEM; chunk culling keeps the sweep cost
+# sublinear).  Above it the kernel switches to HBM-streamed chunks (DMA'd
+# behind the same per-chunk AABB culls), up to STREAM_MAX_FACES.
 MEGA_MAX_FACES = 98304
+STREAM_MAX_FACES = 1 << 21
 
 
 def pack_scene(cfg: SceneConfig) -> ScenePack:
@@ -673,9 +675,10 @@ def pack_scene(cfg: SceneConfig) -> ScenePack:
     # Brute-force work items: every (entity, face) pair with the triangle
     # pre-transformed to world space (see ops/traverse.py for the equivalence
     # argument vs the reference's ray-to-object-space transform).  Packed for
-    # every scene up to MEGA_MAX_FACES — the megakernel keeps them in VMEM
-    # even when the jnp path would use the BVH.
-    if work_items <= MEGA_MAX_FACES and work_items > 0:
+    # every scene up to STREAM_MAX_FACES — the megakernel keeps them in VMEM
+    # (or streams them from HBM past MEGA_MAX_FACES) even when the jnp path
+    # would use the BVH.
+    if work_items <= STREAM_MAX_FACES and work_items > 0:
         wi_ent = np.concatenate([
             np.full(r["face_count"], i, np.int32) for i, r in enumerate(ent_rows)
         ])

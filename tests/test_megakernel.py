@@ -1002,3 +1002,40 @@ def test_megakernel_normal_bump_replaceall(tmp_path):
     diff = np.abs(l_mega - l_jnp)
     assert np.mean(diff) < 0.02, np.mean(diff)
     assert np.quantile(diff, 0.995) < 1.0, np.quantile(diff, 0.995)
+
+
+def test_megakernel_streamed_geometry(monkeypatch):
+    """HBM-streamed chunk sweep (round 4): with the VMEM ceiling lowered,
+    a terrain scene streams its tri table chunk-by-chunk behind the AABB
+    culls and must match both the resident kernel and the jnp wavefront."""
+    import advanced_cpu_raytracing_tpu.ops.pallas.megakernel as mk
+    from advanced_cpu_raytracing_tpu.render.renderer import options_for_camera
+    from advanced_cpu_raytracing_tpu.scene.synth import terrain_scene
+
+    cfg = terrain_scene(n=33, width=64, height=48)  # 2048 faces
+    pack = pack_scene(cfg)
+    opts = options_for_camera(cfg, cfg.cameras[0])
+    cam = build_camera(cfg.cameras[0])
+    rng = np.random.default_rng(2)
+    n = 1024
+    px = jnp.asarray(rng.uniform(0, 64, n).astype(np.float32))
+    py = jnp.asarray(rng.uniform(0, 48, n).astype(np.float32))
+    o, d = cam_mod.generate_rays(cam, px, py, jnp.zeros((n, 2)), dof=False)
+
+    mc_r, tab_r, ctab_r, img_r = mk.build_mega(pack, opts)
+    assert not mc_r.stream_geo
+    l_res = np.asarray(mk.mega_trace(mc_r, tab_r, ctab_r, o, d,
+                                     interpret=True))
+
+    monkeypatch.setattr(mk, "_VMEM_MAX_FACES", 512)
+    assert mk.mega_eligible(pack.static, opts, pack)
+    mc_s, tab_s, ctab_s, img_s = mk.build_mega(pack, opts)
+    assert mc_s.stream_geo and tab_s.shape[0] % mk.CHUNK == 0
+    l_str = np.asarray(mk.mega_trace(mc_s, tab_s, ctab_s, o, d,
+                                     interpret=True))
+
+    np.testing.assert_allclose(l_str, l_res, rtol=1e-6, atol=1e-5)
+    l_jnp = np.asarray(trace_radiance(pack, cam, px, py,
+                                      jax.random.PRNGKey(0), opts))
+    diff = np.abs(l_str - l_jnp)
+    assert np.mean(diff) < 0.01, np.mean(diff)

@@ -278,6 +278,45 @@ def main() -> int:
                   f"blockmean={blocks.mean():.3f}", flush=True)
         return 0
 
+    if "--stream" in sys.argv:
+        # >500k-face synthetic terrain: HBM-streamed megakernel (stream_geo)
+        # vs the jnp per-entity BVH fallback on the same frame
+        from advanced_cpu_raytracing_tpu.scene.synth import terrain_scene
+
+        cfg = terrain_scene(n=513, width=640, height=480)
+        pack = pack_scene(cfg)
+        cam_cfg = cfg.cameras[0]
+        opts = options_for_camera(cfg, cam_cfg)
+        assert _mega_route(pack, opts), "stream scene must route mega"
+        from advanced_cpu_raytracing_tpu.ops.pallas.megakernel import (
+            build_mega,
+        )
+
+        mc = build_mega(pack, opts)[0]
+        print(f"stream: faces={pack.static.n_work_items} "
+              f"stream_geo={mc.stream_geo}", flush=True)
+        img = np.asarray(render_camera(pack, cfg, cam_cfg, seed=0, ldr=True))
+        t0 = time.perf_counter()
+        img = np.asarray(render_camera(pack, cfg, cam_cfg, seed=1, ldr=True))
+        dt = time.perf_counter() - t0
+        rays = cam_cfg.width * cam_cfg.height
+        print(f"stream: mega {dt:.3f}s = {rays / dt / 1e6:.2f} Mrays/s "
+              f"mean={img.mean():.2f}", flush=True)
+        os.environ["ACRT_NO_MEGA"] = "1"
+        try:
+            t0 = time.perf_counter()
+            img2 = np.asarray(render_camera(pack, cfg, cam_cfg, seed=1,
+                                            ldr=True))
+            dt2 = time.perf_counter() - t0
+            print(f"stream: jnp BVH fallback {dt2:.3f}s "
+                  f"({dt2 / dt:.1f}x slower)", flush=True)
+            d = np.abs(img.astype(int) - img2.astype(int))
+            print(f"stream: mega vs fallback mean={d.mean():.4f}",
+                  flush=True)
+        finally:
+            del os.environ["ACRT_NO_MEGA"]
+        return 0
+
     if "--perlin" in sys.argv:
         # authored mesh-perlin scene: compiled-mode perm-table gathers vs the
         # jnp fallback (bit-identical expected; tests only cover interpret)
