@@ -1,0 +1,156 @@
+"""Production-scale inverse rendering through the fused fwd+bwd kernel.
+
+Recovers material colors, light intensity and vertex positions from a
+multisampled 800x800 target image of the cornellbox-conductors scene
+(BASELINE.json config 5 at production scale): Adam over
+``make_diff_render`` (ops/pallas/megabwd.py), loss summed over S
+stratified sample grids per step — every step is S fused fwd+bwd kernel
+dispatches over the full frame.
+
+Run alone on the TPU (one process at a time):
+    python tools/inverse_render.py [--steps N] [--spp S] [--res W]
+Prints per-step losses and a summary line; writes the convergence record
+to tools/artifacts/inverse_render.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from advanced_cpu_raytracing_tpu.diff.params import extract_params
+from advanced_cpu_raytracing_tpu.ops.pallas.megabwd import (
+    bwd_eligible,
+    make_diff_render,
+)
+from advanced_cpu_raytracing_tpu.render.camera import build_camera, generate_rays
+from advanced_cpu_raytracing_tpu.render.renderer import options_for_camera
+from advanced_cpu_raytracing_tpu.scene.pack import pack_scene
+from advanced_cpu_raytracing_tpu.scene.xml_parser import load_scene
+
+SCENE = "/root/reference/archive/hw1_inputs/cornellbox_recursive_conductors.xml"
+FIELDS = ("mat_diffuse", "pl_intensity", "verts")
+
+
+def main() -> int:
+    def arg(flag, default, cast):
+        return cast(sys.argv[sys.argv.index(flag) + 1]) \
+            if flag in sys.argv else default
+
+    steps = arg("--steps", 60, int)
+    spp = arg("--spp", 4, int)
+    res = arg("--res", 800, int)
+    interpret = jax.default_backend() != "tpu"
+
+    cfg = load_scene(SCENE)
+    pack = pack_scene(cfg)
+    cam_cfg = cfg.cameras[0]
+    cam = build_camera(cam_cfg)
+    opts = options_for_camera(cfg, cam_cfg)
+    assert bwd_eligible(pack.static, opts, pack)
+    render = make_diff_render(pack, opts, interpret=interpret)
+
+    # stratified sample grid: spp fixed jitters of the res x res pixel grid
+    # (the reference's n^2 stratified cells, main.cpp:44-76, with one fixed
+    # psi per cell so target and optimization see identical sample points)
+    n = res * res
+    ys, xs = np.divmod(np.arange(n, dtype=np.int64), res)
+    sx = cam_cfg.width / res
+    sy = cam_cfg.height / res
+    jit = np.random.default_rng(7).uniform(0, 1, (spp, 2)).astype(np.float32)
+    rays = []
+    for s in range(spp):
+        px = jnp.asarray((xs + jit[s, 0]) * sx, jnp.float32)
+        py = jnp.asarray((ys + jit[s, 1]) * sy, jnp.float32)
+        o, d = generate_rays(cam, px, py, jnp.zeros((n, 2)), dof=False)
+        rays.append((o, d))
+
+    true_params = extract_params(pack, FIELDS)
+
+    @jax.jit
+    def render_target(params, o, d):
+        return render(params, o, d)
+
+    targets = [render_target(true_params, o, d) for (o, d) in rays]
+    jax.block_until_ready(targets)
+
+    # perturb: materials darkened, light brightened, geometry nudged
+    rng = np.random.default_rng(3)
+    start = dict(true_params)
+    start["mat_diffuse"] = true_params["mat_diffuse"] * 0.45
+    start["pl_intensity"] = true_params["pl_intensity"] * 1.7
+    start["verts"] = true_params["verts"] + jnp.asarray(
+        rng.normal(0, 0.01, true_params["verts"].shape).astype(np.float32))
+
+    def loss_fn(params, o, d, target):
+        img = render(params, o, d)
+        return jnp.mean((img - target) ** 2)
+
+    tx = optax.adam(2e-2)
+    opt_state = tx.init(start)
+
+    @jax.jit
+    def step_one(params, opt_state, o, d, target):
+        loss, grads = jax.value_and_grad(loss_fn)(params, o, d, target)
+        updates, opt_state = tx.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    params = start
+    # warmup / compile
+    params, opt_state, loss0 = step_one(params, opt_state, *rays[0],
+                                        targets[0])
+    jax.block_until_ready(loss0)
+    params, opt_state = start, tx.init(start)
+
+    history = []
+    t0 = time.perf_counter()
+    for i in range(steps):
+        total = 0.0
+        for s in range(spp):
+            params, opt_state, loss = step_one(params, opt_state, *rays[s],
+                                               targets[s])
+            total += float(loss)
+        history.append(total / spp)
+        if i % 10 == 0 or i == steps - 1:
+            print(f"step {i}: loss {history[-1]:.6f}", flush=True)
+    dt = time.perf_counter() - t0
+    rate = steps * spp * n / dt
+
+    def err(k):
+        a = np.asarray(params[k])
+        b = np.asarray(true_params[k])
+        return float(np.abs(a - b).max())
+
+    summary = {
+        "scene": "cornellbox_recursive_conductors",
+        "resolution": [res, res],
+        "spp": spp,
+        "steps": steps,
+        "wall_s": round(dt, 3),
+        "steps_per_s": round(steps / dt, 3),
+        "rays_per_s": round(rate / 1e6, 3),
+        "loss_first": history[0],
+        "loss_last": history[-1],
+        "loss_curve_every5": history[::5],
+        "max_abs_err": {k: err(k) for k in FIELDS},
+    }
+    print(json.dumps(summary), flush=True)
+    out = pathlib.Path(__file__).parent / "artifacts" / "inverse_render.json"
+    out.parent.mkdir(exist_ok=True)
+    out.write_text(json.dumps(summary, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
