@@ -641,8 +641,10 @@ def _kernel(*refs, bc: BwdConsts):
                 lb = lb + jnp.where(g, wz_ * dls[3 * i + 2] * vz_, 0.0)
 
             # spot lights (raytracer.cpp:767-776, spotLight.h:33-57;
-            # transcribed from lights.py:110-137 — alpha_deg feeds only
-            # comparisons, so no gradient crosses the arccos)
+            # lights.py:110-137).  All cone tests in COSINE space like the
+            # megakernel (arccos is strictly decreasing and Mosaic lowers no
+            # acos): alpha > fall/2 <=> cos_a < cos(fall/2), alpha <= 0 <=>
+            # cos_a >= 1 — and no gradient crosses the comparisons anyway
             for i, sp in enumerate(bc.spots):
                 spos, sdir, chc, chf, cov, fall = sp
                 tlx = spos[0] - px
@@ -654,13 +656,11 @@ def _kernel(*refs, bc: BwdConsts):
                 cos_alpha = jnp.clip(
                     -(sdir[0] * wix + sdir[1] * wiy + sdir[2] * wiz),
                     -1.0, 1.0)
-                alpha_deg = jnp.rad2deg(jnp.arccos(cos_alpha))
                 irr = 1.0 / jnp.maximum(dist * dist, 1e-20)
                 s = jnp.maximum(
                     (cos_alpha - chc) / max(chf - chc, 1e-9), 0.0) ** 4
-                in_falloff = alpha_deg > (fall / 2.0)
-                fac = jnp.where(in_falloff, s, 1.0)
-                outside = (alpha_deg <= 0) | (alpha_deg > cov / 2.0)
+                fac = jnp.where(cos_alpha < chf, s, 1.0)
+                outside = (cos_alpha >= 1.0) | (cos_alpha < chc)
                 fac = jnp.where(outside, 0.0, fac)
                 vx_, vy_, vz_ = shade_unit(wix, wiy, wiz)
                 g = lit & st[f"vis_s{i}"]

@@ -642,12 +642,14 @@ def build_mega(pack, opts, host_rng: bool = False):
 
     # HBM-streamed geometry: pad the table to whole chunks so the per-chunk
     # DMA never overruns (padding rows are degenerate: det == 0 -> invalid)
+    # and to the full 128-lane minor dim — Mosaic requires HBM memref
+    # slices aligned to the (1,128) tiling, so the DMA must move whole
+    # lane rows
     stream_geo = w > _VMEM_MAX_FACES
     if stream_geo:
         pad_rows = (-tab.shape[0]) % CHUNK
-        if pad_rows:
-            tab = np.concatenate(
-                [tab, np.zeros((pad_rows, n_cols), np.float32)], axis=0)
+        pad_cols = LANES - n_cols
+        tab = np.pad(tab, ((0, pad_rows), (0, pad_cols)))
 
     mc = MegaConsts(
         n_tri=w,

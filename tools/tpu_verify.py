@@ -47,7 +47,10 @@ def main() -> int:
     from advanced_cpu_raytracing_tpu.scene.pack import pack_scene
     from advanced_cpu_raytracing_tpu.scene.xml_parser import load_scene
 
-    names = list(TOP)
+    # dedicated modes skip the golden sweep (each runs as its own process;
+    # re-sweeping 8 scenes per mode would triple the TPU time)
+    modes = {"--bwd", "--env", "--stream", "--perlin", "--pt"}
+    names = [] if modes & set(sys.argv) else list(TOP)
     if "--contrib" in sys.argv:
         names += CONTRIB
     for name in names:
@@ -194,6 +197,10 @@ def main() -> int:
         ], axis=-1).astype(np.float32)
         td = pathlib.Path(tempfile.mkdtemp())
         write_exr(str(td / "env.exr"), env)
+        # the reference's EXR loader resolves env images under inputs/
+        # relative to its CWD (parser.cpp HDR path handling)
+        (td / "inputs").mkdir()
+        write_exr(str(td / "inputs" / "env.exr"), env)
         xml = """<Scene>
   <BackgroundColor>0 0 0</BackgroundColor>
   <MaxRecursionDepth>2</MaxRecursionDepth>
