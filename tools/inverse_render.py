@@ -7,6 +7,13 @@ multisampled 800x800 target image of the cornellbox-conductors scene
 stratified sample grids per step — every step is S fused fwd+bwd kernel
 dispatches over the full frame.
 
+Identifiability: diffuse shading constrains only the PRODUCT
+k_diffuse * intensity (the albedo/illumination gauge ambiguity — only
+specular-highlight pixels see intensity alone), so per-field recovery
+errors are reported alongside the identifiable product error and the
+image PSNR; vertex positions are fully identifiable and use a ~30x
+smaller Adam step (see the multi_transform note below).
+
 Run alone on the TPU (one process at a time):
     python tools/inverse_render.py [--steps N] [--spp S] [--res W]
 Prints per-step losses and a summary line; writes the convergence record
@@ -50,6 +57,7 @@ def main() -> int:
     steps = arg("--steps", 60, int)
     spp = arg("--spp", 4, int)
     res = arg("--res", 800, int)
+    lr = arg("--lr", 5e-3, float)
     interpret = jax.default_backend() != "tpu"
 
     cfg = load_scene(SCENE)
@@ -108,7 +116,16 @@ def main() -> int:
         img = render(to_p(u), o, d)
         return jnp.mean(((img - target) / 255.0) ** 2)
 
-    tx = optax.adam(5e-3)
+    # verts get a ~30x smaller step than color/intensity fields: an Adam
+    # step of lr in u-space moves a vertex lr*max|verts| world units per
+    # step (0.05 at lr=1e-2 — 5x the perturbation being recovered), and
+    # silhouette motion is invisible to the fixed-topology gradient, so
+    # oversized vertex steps random-walk the geometry instead of descending
+    # (measured: joint loss plateaus at 1.6e-2 with one shared lr, reaches
+    # 1.6e-4 with the split)
+    tx = optax.multi_transform(
+        {"fast": optax.adam(lr), "verts": optax.adam(lr * 0.03)},
+        {k: ("verts" if k == "verts" else "fast") for k in FIELDS})
     opt_state = tx.init(u_start)
 
     @jax.jit
@@ -145,6 +162,22 @@ def main() -> int:
         scale = max(float(np.abs(b).max()), 1e-6)
         return float(np.abs(a - b).max() / scale)
 
+    # diffuse shading sees only the PRODUCT diffuse*intensity (the classic
+    # albedo/illumination gauge ambiguity — only the few specular-highlight
+    # pixels identify intensity alone), so the identifiable combination is
+    # reported alongside the raw per-field errors
+    prod = np.einsum("mc,pc->mpc", np.asarray(params["mat_diffuse"]),
+                     np.asarray(params["pl_intensity"]))
+    prod_true = np.einsum("mc,pc->mpc",
+                          np.asarray(true_params["mat_diffuse"]),
+                          np.asarray(true_params["pl_intensity"]))
+    prod_err = float(np.abs(prod - prod_true).max()
+                     / max(float(np.abs(prod_true).max()), 1e-6))
+    final = np.asarray(render_target(params, *rays[0]))
+    tgt0 = np.asarray(targets[0])
+    mse = float(np.mean((final - tgt0) ** 2))
+    psnr = 10.0 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+
     summary = {
         "scene": "cornellbox_recursive_conductors",
         "resolution": [res, res],
@@ -157,6 +190,8 @@ def main() -> int:
         "loss_last": history[-1],
         "loss_curve_every5": history[::5],
         "max_rel_err": {k: err(k) for k in FIELDS},
+        "diffuse_x_intensity_rel_err": prod_err,
+        "image_psnr_db": round(psnr, 2),
     }
     print(json.dumps(summary), flush=True)
     out = pathlib.Path(__file__).parent / "artifacts" / "inverse_render.json"

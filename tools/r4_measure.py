@@ -113,14 +113,16 @@ def sec_inverse() -> None:
         ir.main()
 
 
+# stream runs LAST: its jnp-fallback comparison has crashed the TPU worker
+# process at full scale before (a dead worker fails every later section)
 SECTIONS = {
-    "stream": sec_stream,
     "env": sec_env,
     "bench16": sec_bench16,
     "bwd": sec_bwd,
     "gradcheck": sec_gradcheck,
     "inverse": sec_inverse,
     "spp1": sec_spp1,
+    "stream": sec_stream,
 }
 
 

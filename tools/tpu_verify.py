@@ -307,17 +307,33 @@ def main() -> int:
         img = np.asarray(render_camera(pack, cfg, cam_cfg, seed=1, ldr=True))
         dt = time.perf_counter() - t0
         rays = cam_cfg.width * cam_cfg.height
-        print(f"stream: mega {dt:.3f}s = {rays / dt / 1e6:.2f} Mrays/s "
+        mega_rate = rays / dt
+        print(f"stream: mega {dt:.3f}s = {mega_rate / 1e6:.2f} Mrays/s "
               f"mean={img.mean():.2f}", flush=True)
+        # The jnp fallback comparison runs at QUARTER resolution (160x120):
+        # the full 640x480 fallback frame on 524k faces crashes the TPU
+        # worker process outright (observed 2026-08-20: "TPU worker process
+        # crashed", killing every later measurement in the battery).
+        # Per-ray rates are what's compared, so a smaller frame is fair to
+        # the fallback (same per-ray BVH work, smaller working set).
+        import dataclasses
+
+        small = dataclasses.replace(cam_cfg, width=160, height=120)
+        small_rays = small.width * small.height
+        img_m = np.asarray(render_camera(pack, cfg, small, seed=1, ldr=True))
         os.environ["ACRT_NO_MEGA"] = "1"
         try:
+            img2 = np.asarray(render_camera(pack, cfg, small, seed=1,
+                                            ldr=True))
             t0 = time.perf_counter()
-            img2 = np.asarray(render_camera(pack, cfg, cam_cfg, seed=1,
+            img2 = np.asarray(render_camera(pack, cfg, small, seed=1,
                                             ldr=True))
             dt2 = time.perf_counter() - t0
-            print(f"stream: jnp BVH fallback {dt2:.3f}s "
-                  f"({dt2 / dt:.1f}x slower)", flush=True)
-            d = np.abs(img.astype(int) - img2.astype(int))
+            fb_rate = small_rays / dt2
+            print(f"stream: jnp BVH fallback {dt2:.3f}s @160x120 = "
+                  f"{fb_rate / 1e6:.3f} Mrays/s "
+                  f"({mega_rate / fb_rate:.1f}x slower per ray)", flush=True)
+            d = np.abs(img_m.astype(int) - img2.astype(int))
             print(f"stream: mega vs fallback mean={d.mean():.4f}",
                   flush=True)
         finally:
