@@ -45,8 +45,9 @@ import time
 import numpy as np
 
 BASELINE_PATHS_PER_S = 800 * 800 / 0.382  # reference CPU, same scene, 1 spp
-# reference CPU on the identical 16-spp workload, best of 3 (BASELINE.md
-# round-3 table)
+# reference CPU on the identical 16-spp workload, best wall-clock ever
+# observed (BASELINE.md "Round-3 reference re-baseline"; the round-4
+# re-check measured 6.2-6.7 s, so this concedes the reference ~1.5x)
 BASELINE_16SPP_PATHS_PER_S = 800 * 800 * 16 / 4.082
 
 SCENE = "/root/reference/archive/hw1_inputs/cornellbox_recursive_conductors.xml"

@@ -4,13 +4,14 @@ Each fresh python process negotiates a fresh chip claim through the axon
 relay, and a claim can be lost if a previous client died recently — so all
 round-4 TPU measurements run here sequentially inside one interpreter:
 
-  1. stream   — 524k-face HBM-streamed terrain vs the jnp BVH fallback
-  2. env      — env-lit scene wall-clock vs the reference binary
-  3. bench16  — the headline 16-spp production-multisample metric
-  4. bwd x3   — 1080p fwd+bwd rate on conductors / alt2 / spotareaml
-  5. gradcheck— full-depth kernel-vs-wavefront gradient diffs (3 scenes)
-  6. inverse  — 800x800 multisampled inverse rendering (Adam)
-  7. spp1     — legacy 1-spp bridge metric
+  1. env      — env-lit scene wall-clock vs the reference binary
+  2. bench16  — the headline 16-spp production-multisample metric
+  3. bwd x3   — 1080p fwd+bwd rate on conductors / alt2 / spotareaml
+  4. gradcheck— full-depth kernel-vs-wavefront gradient diffs (3 scenes)
+  5. inverse  — 800x800 multisampled inverse rendering (Adam)
+  6. spp1     — legacy 1-spp bridge metric
+  7. stream   — 524k-face HBM-streamed terrain vs the jnp BVH fallback
+                (last: its fallback leg once crashed the TPU worker)
 
 Usage:  python tools/r4_measure.py [section ...]   (default: all)
 Output: one section per block to stdout; also appended as JSON lines to
