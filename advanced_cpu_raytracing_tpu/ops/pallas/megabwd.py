@@ -122,6 +122,11 @@ class BwdConsts:
     has_dielectric: bool
     has_emissive: bool
     with_bwd: bool
+    # path tracing (diffuse-only GI continuation; eligibility forbids
+    # specular materials and RR when pt is set)
+    pt: bool = False
+    pt_importance: bool = False
+    pt_nee: bool = True
 
 
 def bwd_eligible(static, opts, pack=None) -> bool:
@@ -129,8 +134,17 @@ def bwd_eligible(static, opts, pack=None) -> bool:
     ml_ok = static.n_mesh_lights == 0 or (
         pack is not None and static.n_mesh_lights <= 2
         and int(np.asarray(pack.ml_face_count).max()) <= 32)
+    # PT chains stay linear only when every non-emissive hit continues via
+    # ONE sampled GI child: diffuse-only scenes, no Russian roulette (its
+    # 1/prob reweighting would need the RR draw replayed AND prob built
+    # from the differentiable throughput — wavefront-only for now)
+    pt_ok = (not opts.path_tracing) or (
+        not opts.russian_roulette
+        and not static.has_mirror
+        and not static.has_conductor
+        and not static.has_dielectric)
     return (
-        not opts.path_tracing
+        pt_ok
         and opts.max_depth <= 8
         and static.n_textures == 0
         and static.n_env == 0
@@ -216,15 +230,18 @@ def build_bwd_consts(pack, opts, with_bwd: bool) -> BwdConsts:
         has_mirror=st.has_mirror, has_conductor=st.has_conductor,
         has_dielectric=st.has_dielectric, has_emissive=st.has_emissive_mat,
         with_bwd=with_bwd,
+        pt=bool(opts.path_tracing),
+        pt_importance=bool(opts.importance_sampling),
+        pt_nee=bool(opts.next_event_estimation),
     )
 
 
 def wavefront_rng(key, r: int, D: int, n_area: int, need_diel: bool,
-                  ml_counts: tuple = ()):
+                  ml_counts: tuple = (), need_gi: bool = False):
     """Replay trace_radiance's key-split schedule so the kernel consumes
     the SAME area-light offsets, mesh-light face picks + barycentric
-    uniforms, and dielectric branch uniforms as the jnp wavefront with the
-    same top-level key.
+    uniforms, dielectric branch uniforms, and (path tracing) GI direction
+    uniforms as the jnp wavefront with the same top-level key.
 
     Schedule transcribed from integrator.py: trace_radiance splits
     (key -> k_time, k_lens, k_loop); each loop iteration splits
@@ -234,16 +251,23 @@ def wavefront_rng(key, r: int, D: int, n_area: int, need_diel: bool,
     (integrator.py:402).  A linear specular chain pops segment k at loop
     iteration k, so plane k here lines up with the oracle's iteration k.
 
-    Returns (uab (D*n_area*2, r), uml (D*n_ml*3, r), ud (D or 0, r)) f32;
-    uml planes per (segment, light) are [fsel (float of int), r12a, r12b].
+    Returns (uab (D*n_area*2, r), uml (D*n_ml*3, r), ud (D or 0, r),
+    ugi (D*2 or 0, r)) f32; uml planes per (segment, light) are
+    [fsel (float of int), r12a, r12b]; ugi planes per segment are
+    [r12[:,0] (phi), r12[:,1] (theta)] from _process_hit's k_gi draw
+    (integrator.py:261).
     """
     key, _k_time, _k_lens, k_loop = jax.random.split(key, 4)
-    offs, mls, uds = [], [], []
+    offs, mls, uds, gis = [], [], [], []
     k = k_loop
     for _ in range(D):
         k, k_it = jax.random.split(k)
         (_, _k_gi, _k_rr, k_dl, _k_m, _k_c, _k_t, k_rl,
          _k_rf) = jax.random.split(k_it, 9)
+        if need_gi:
+            r12 = jax.random.uniform(_k_gi, (r, 2))
+            gis.append(r12[:, 0])
+            gis.append(r12[:, 1])
         kk = k_dl
         for _i in range(n_area):
             kk, sub = jax.random.split(kk)
@@ -262,8 +286,9 @@ def wavefront_rng(key, r: int, D: int, n_area: int, need_diel: bool,
     uab = (jnp.stack(offs) if offs else jnp.zeros((0, r), jnp.float32))
     uml = (jnp.stack(mls) if mls else jnp.zeros((0, r), jnp.float32))
     ud = (jnp.stack(uds) if uds else jnp.zeros((0, r), jnp.float32))
+    ugi = (jnp.stack(gis) if gis else jnp.zeros((0, r), jnp.float32))
     return uab.astype(jnp.float32), uml.astype(jnp.float32), \
-        ud.astype(jnp.float32)
+        ud.astype(jnp.float32), ugi.astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -285,6 +310,9 @@ def _kernel(*refs, bc: BwdConsts):
         idx += 1
     if bc.has_dielectric:
         ud_ref = refs[idx]
+        idx += 1
+    if bc.pt:
+        ugi_ref = refs[idx]
         idx += 1
     outs = refs[idx:]
     if bc.with_bwd:
@@ -311,6 +339,46 @@ def _kernel(*refs, bc: BwdConsts):
         safe = jnp.where(pos, base, 1.0)
         val = jnp.exp(e * jnp.log(safe))
         return jnp.where(pos, val, jnp.where(e == 0.0, 1.0, 0.0))
+
+    def onb(nx, ny, nz):
+        """Axis-swap orthonormal basis (GetOrthonormalBasis,
+        helperMath.cpp:59-85; tie-breaking matches
+        utils/math3d.py::orthonormal_basis and the megakernel)."""
+        ax, ay, az = jnp.abs(nx), jnp.abs(ny), jnp.abs(nz)
+        use_x = (ax < ay) & (ax < az)
+        use_y = (~(ax < ay)) & (ay < az)
+        use_z = ~(use_x | use_y)
+        rpx = jnp.where(use_x, 1.0, nx)
+        rpy = jnp.where(use_y, 1.0, ny)
+        rpz = jnp.where(use_z, 1.0, nz)
+        ux = rpy * nz - rpz * ny
+        uy = rpz * nx - rpx * nz
+        uz = rpx * ny - rpy * nx
+        ux, uy, uz = norm3(ux, uy, uz)
+        vx_ = ny * uz - nz * uy
+        vy_ = nz * ux - nx * uz
+        vz_ = nx * uy - ny * ux
+        vx_, vy_, vz_ = norm3(vx_, vy_, vz_)
+        return (ux, uy, uz), (vx_, vy_, vz_)
+
+    def gi_direction(nx, ny, nz, r1, r2):
+        """Sampled GI direction over the hemisphere about n
+        (ComputeGlobalIllumination, raytracer.cpp:143-173; transcribed
+        from integrator.py:261-274 so kernel and oracle agree
+        lane-for-lane on the replayed (r1, r2))."""
+        phi = TWO_PI * r1
+        if bc.pt_importance:
+            sin_t = jnp.sqrt(r2)  # theta = asin(sqrt(r2))
+            cos_t = jnp.sqrt(jnp.maximum(1.0 - r2, 0.0))
+        else:
+            cos_t = r2  # theta = acos(r2)
+            sin_t = jnp.sqrt(jnp.maximum(1.0 - r2 * r2, 0.0))
+        (ubx, uby, ubz), (vbx, vby, vbz) = onb(nx, ny, nz)
+        sc = sin_t * jnp.cos(phi)
+        ss = sin_t * jnp.sin(phi)
+        return norm3(ubx * sc + nx * cos_t + vbx * ss,
+                     uby * sc + ny * cos_t + vby * ss,
+                     ubz * sc + nz * cos_t + vbz * ss)
 
     # ---- non-differentiable scene sweep machinery (megakernel twins) ----
     def tri_hit(ti, px, py, pz, vx, vy, vz):
@@ -719,17 +787,42 @@ def _kernel(*refs, bc: BwdConsts):
                 wix, wiy, wiz = tlx * inv, tly * inv, tlz * inv
                 irr = wgt * TWO_PI
                 vx_, vy_, vz_ = shade_unit(wix, wiy, wiz)
-                g = lit & st[f"vis_m{i}"]
+                # PT: NEE skips the mesh light this lane's GI ray hit
+                # (double-count suppression, raytracer.cpp:180-188, 778-781)
+                g = lit & st[f"vis_m{i}"] & ~st[f"skip_m{i}"]
                 lr = lr + jnp.where(g, wx_ * mls[3 * i + 0] * irr * vx_, 0.0)
                 lg = lg + jnp.where(g, wy_ * mls[3 * i + 1] * irr * vy_, 0.0)
                 lb = lb + jnp.where(g, wz_ * mls[3 * i + 2] * irr * vz_, 0.0)
 
-            # --- specular chain child (mirror 442-472, conductor 208-254,
-            # dielectric 261-415 in single-path mode) ---
+            # --- chain child: specular (mirror 442-472, conductor 208-254,
+            # dielectric 261-415 single-path) or sampled GI continuation
+            # (path tracing, raytracer.cpp:135-191) ---
             if k == bc.max_depth or not (bc.has_mirror or bc.has_conductor
-                                         or bc.has_dielectric):
+                                         or bc.has_dielectric or bc.pt):
                 z = ZERO
                 return (lr, lg, lb, z, z, z + 1.0, z, z, z + 1.0, z, z, z)
+            if bc.pt:
+                # eligibility forbids specular materials with PT, so the
+                # chain child is ALWAYS the GI bounce: direction from the
+                # replayed uniforms + the step's differentiable normal
+                # (constant for tris, differentiable for spheres — same
+                # semantics as the oracle), weight = w * Shade(unit) * 2pi
+                # * the continuation gate (integrator.py:286-292)
+                chain = st["chain"]
+                r1, r2 = st["gi_r12"]
+                gdx, gdy, gdz = gi_direction(nx, ny, nz, r1, r2)
+                vx_, vy_, vz_ = shade_unit(gdx, gdy, gdz)
+                o2x = jnp.where(chain, px + nx * 1e-4, 0.0)
+                o2y = jnp.where(chain, py + ny * 1e-4, 0.0)
+                o2z = jnp.where(chain, pz + nz * 1e-4, 0.0)
+                d2x = jnp.where(chain, gdx, 0.0)
+                d2y = jnp.where(chain, gdy, 0.0)
+                d2z = jnp.where(chain, gdz, 1.0)
+                w2x = jnp.where(chain, wx_ * vx_ * TWO_PI, 0.0)
+                w2y = jnp.where(chain, wy_ * vy_ * TWO_PI, 0.0)
+                w2z = jnp.where(chain, wz_ * vz_ * TWO_PI, 0.0)
+                return (lr, lg, lb, o2x, o2y, o2z, d2x, d2y, d2z,
+                        w2x, w2y, w2z)
             chain = st["chain"]
             ndotwo = nx * wox + ny * woy + nz * woz
             rx, ry, rz = norm3(2.0 * nx * ndotwo - wox,
@@ -831,8 +924,13 @@ def _kernel(*refs, bc: BwdConsts):
     absorb3 = (ZERO, ZERO, ZERO)  # Beer constant of the popped ray
     Lr = Lg = Lb = ZERO
     segs = []  # (step_fn, leaves) per depth
+    pending_st = None  # PT: segment k's GI trace IS segment k+1's trace
     for k in range(D):
-        st = trace(o3[0], o3[1], o3[2], d3[0], d3[1], d3[2], active)
+        if pending_st is not None:
+            st = pending_st
+            pending_st = None
+        else:
+            st = trace(o3[0], o3[1], o3[2], d3[0], d3[1], d3[2], active)
         hit = st["hit"] & active
         st["hit"] = hit
         matf = st["matf"]
@@ -849,6 +947,10 @@ def _kernel(*refs, bc: BwdConsts):
             st["lit"] = shadeable & ~inside
         else:
             st["lit"] = shadeable
+        if bc.pt and not bc.pt_nee:
+            # PT without NEE: no ambient / direct lighting at all —
+            # emissive hits carry every light path (integrator.py:294)
+            st["lit"] = FALSE
         st["miss_primary"] = active & ~hit if k == 0 else FALSE
         # geometric normal incl. sphere winners (one selected-consts solve)
         nx_, ny_, nz_ = st["n_tri"]
@@ -1015,6 +1117,7 @@ def _kernel(*refs, bc: BwdConsts):
                 lrow = jnp.where(selm, float(row), lrow)
             st[f"mlw{i}"] = wgt
             st[f"mlrow{i}"] = lrow
+            st[f"skip_m{i}"] = FALSE  # PT GI block may override below
             lv9s_k.append(tuple(a9))
             sq = jnp.sqrt(r12a)
             qx = a9[3] * (1.0 - r12b) + a9[6] * r12b
@@ -1024,6 +1127,41 @@ def _kernel(*refs, bc: BwdConsts):
                 a9[0] * (1.0 - sq) + qx * sq,
                 a9[1] * (1.0 - sq) + qy * sq,
                 a9[2] * (1.0 - sq) + qz * sq, st["lit"])
+
+        # ---- path tracing: GI continuation topology ----
+        # The GI trace here IS the next segment's scene trace (pending_st):
+        # eligible PT scenes have no specular materials, so every chain
+        # child is the GI bounce — one trace per segment, like the
+        # specular chain.  Direction/origin values here are numerically
+        # identical to the step's differentiable recompute (same formulas
+        # on the same winner facts).
+        if bc.pt and k < bc.max_depth:
+            r1 = ugi_ref[2 * k, :, :]
+            r2 = ugi_ref[2 * k + 1, :, :]
+            st["gi_r12"] = (r1, r2)
+            # gi_alive = active & ~emissive & (depth > 0); depth > 0 is
+            # static (k < max_depth) — integrator.py:255-258
+            gi_alive = shadeable
+            gdx, gdy, gdz = gi_direction(nx_, ny_, nz_, r1, r2)
+            t_sg = jnp.where(hit, st["t0"], 0.0)
+            gox = o3[0] + t_sg * d3[0] + nx_ * 1e-4
+            goy = o3[1] + t_sg * d3[1] + ny_ * 1e-4
+            goz = o3[2] + t_sg * d3[2] + nz_ * 1e-4
+            pending_st = trace(gox, goy, goz, gdx, gdy, gdz, gi_alive)
+            g_hit = pending_st["hit"] & gi_alive
+            g_row = pending_st["row"]
+            # NEE double-count suppression flags: which mesh light (if
+            # any) did this lane's GI ray hit (raytracer.cpp:180-188)
+            for i, faces in enumerate(bc.mlights):
+                skip = FALSE
+                for (rw, _w) in faces:
+                    skip = skip | (g_row == float(rw))
+                st[f"skip_m{i}"] = g_hit & skip
+            # child pushed only if the GI ray hit something
+            # (integrator.py:289: gi_alive & gi_hit.valid)
+            st["chain"] = gi_alive & g_hit
+        elif bc.pt:
+            st["chain"] = FALSE
 
         # per-lane selected material params (traced leaves for the step)
         kd3 = tuple(matsel(matf, 3 + c) for c in range(3))
@@ -1148,13 +1286,13 @@ def _pad_rows(x, n):
 
 
 def _bwd_call(bc: BwdConsts, tri_tab, chunk_tab, mat_tab, pl_tab, dl_tab,
-              sl_tab, al_tab, ml_tab, bg_tab, uab, uml, ud, o, d, gbar,
+              sl_tab, al_tab, ml_tab, bg_tab, uab, uml, ud, ugi, o, d, gbar,
               interpret: bool):
     """Invoke the kernel.  gbar=None -> fwd-only variant.
 
-    ``uab``/``uml``/``ud`` are the (D*n_area*2, r) / (D*n_ml*3, r) / (D, r)
-    stochastic-input planes from ``wavefront_rng`` (stop-grad); forwarded
-    only when the scene needs them."""
+    ``uab``/``uml``/``ud``/``ugi`` are the (D*n_area*2, r) / (D*n_ml*3, r)
+    / (D, r) / (D*2, r) stochastic-input planes from ``wavefront_rng``
+    (stop-grad); forwarded only when the scene needs them."""
     r = o.shape[0]
     r_pad = ((r + TILE - 1) // TILE) * TILE
     n_rows = r_pad // LANES
@@ -1183,7 +1321,8 @@ def _bwd_call(bc: BwdConsts, tri_tab, chunk_tab, mat_tab, pl_tab, dl_tab,
     extra_specs = []
     for planes in ((uab,) if bc.areas else ()) + (
             (uml,) if bc.mlights else ()) + (
-            (ud,) if bc.has_dielectric else ()):
+            (ud,) if bc.has_dielectric else ()) + (
+            (ugi,) if bc.pt else ()):
         np_ = planes.shape[0]
         padded = jnp.pad(planes, ((0, 0), (0, r_pad - r))).reshape(
             np_, n_rows, LANES)
@@ -1321,28 +1460,28 @@ def make_diff_render(pack, opts, interpret: bool = False):
 
     @jax.custom_vjp
     def render(mat_tab, pl_tab, dl_tab, sl_tab, al_tab, ml_tab, bg_tab,
-               tri_w, o, d, uab, uml, ud):
+               tri_w, o, d, uab, uml, ud, ugi):
         tri_tab = jnp.concatenate([tri_w, tri_rest], axis=1)
         outs, n_rows = _bwd_call(bc_f, tri_tab, chunk_tab, mat_tab, pl_tab,
                                  dl_tab, sl_tab, al_tab, ml_tab, bg_tab,
-                                 uab, uml, ud, o, d, None, interpret)
+                                 uab, uml, ud, ugi, o, d, None, interpret)
         r = o.shape[0]
         return jnp.stack([x.reshape(-1)[:r] for x in outs[:3]], axis=-1)
 
     def render_fwd(mat_tab, pl_tab, dl_tab, sl_tab, al_tab, ml_tab, bg_tab,
-                   tri_w, o, d, uab, uml, ud):
+                   tri_w, o, d, uab, uml, ud, ugi):
         out = render(mat_tab, pl_tab, dl_tab, sl_tab, al_tab, ml_tab,
-                     bg_tab, tri_w, o, d, uab, uml, ud)
+                     bg_tab, tri_w, o, d, uab, uml, ud, ugi)
         return out, (mat_tab, pl_tab, dl_tab, sl_tab, al_tab, ml_tab,
-                     bg_tab, tri_w, o, d, uab, uml, ud)
+                     bg_tab, tri_w, o, d, uab, uml, ud, ugi)
 
     def render_bwd(res, gbar):
         (mat_tab, pl_tab, dl_tab, sl_tab, al_tab, ml_tab, bg_tab, tri_w,
-         o, d, uab, uml, ud) = res
+         o, d, uab, uml, ud, ugi) = res
         tri_tab = jnp.concatenate([tri_w, tri_rest], axis=1)
         outs, n_rows = _bwd_call(bc_b, tri_tab, chunk_tab, mat_tab, pl_tab,
                                  dl_tab, sl_tab, al_tab, ml_tab, bg_tab,
-                                 uab, uml, ud, o, d, gbar, interpret)
+                                 uab, uml, ud, ugi, o, d, gbar, interpret)
         (_, _, _, stream, smalls, box, boy, boz, bdx, bdy, bdz) = outs
         r = o.shape[0]
         d_triw, d_mat16 = _reduce_streams(bc_b, stream, w_items, n_mat,
@@ -1370,7 +1509,7 @@ def make_diff_render(pack, opts, interpret: bool = False):
         d_d = jnp.stack([x.reshape(-1)[:r] for x in (bdx, bdy, bdz)], axis=-1)
         return (d_mat, d_pl, d_dl, d_sl, d_al, d_ml, d_bg, d_triw, d_o,
                 d_d, jnp.zeros_like(uab), jnp.zeros_like(uml),
-                jnp.zeros_like(ud))
+                jnp.zeros_like(ud), jnp.zeros_like(ugi))
 
     render.defvjp(render_fwd, render_bwd)
 
@@ -1379,9 +1518,10 @@ def make_diff_render(pack, opts, interpret: bool = False):
          tri_w) = tables(params)
         if key is None:
             key = jax.random.PRNGKey(0)
-        uab, uml, ud = wavefront_rng(key, o.shape[0], D, Pa,
-                                     st.has_dielectric, ml_counts)
+        uab, uml, ud, ugi = wavefront_rng(key, o.shape[0], D, Pa,
+                                          st.has_dielectric, ml_counts,
+                                          need_gi=bc_f.pt)
         return render(mat_tab, pl_tab, dl_tab, sl_tab, al_tab, ml_tab,
-                      bg_tab, tri_w, o, d, uab, uml, ud)
+                      bg_tab, tri_w, o, d, uab, uml, ud, ugi)
 
     return f

@@ -267,10 +267,15 @@ def _process_hit(pack: ScenePack, opts: RenderOptions, o, d, w_in, absorb,
             jnp.arccos(r12[:, 1]),
         )
         u_b, v_b = orthonormal_basis(n)
+        # eps guard: dead/miss lanes can carry a degenerate basis (zero
+        # normal) — an unguarded 0/0 here poisons the whole frame's
+        # reverse-mode gradients through 0 * NaN cotangent products even
+        # though the lanes themselves are masked out of the push
         gi_dir = normalize(
             u_b * (jnp.sin(theta) * jnp.cos(phi))[:, None]
             + n * jnp.cos(theta)[:, None]
-            + v_b * (jnp.sin(theta) * jnp.sin(phi))[:, None]
+            + v_b * (jnp.sin(theta) * jnp.sin(phi))[:, None],
+            eps=1e-20,
         )
         gi_o = p + n * 1e-4  # hardcoded GI epsilon (raytracer.cpp:174)
         gi_hit = closest_hit(pack, gi_o, gi_dir, time,

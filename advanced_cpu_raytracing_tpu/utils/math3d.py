@@ -34,12 +34,16 @@ def normalize(a: Array, eps: float = 0.0) -> Array:
     cotangents through the untaken branch); the reference would produce
     inf/nan there anyway, so parity is unaffected.
     """
-    l = length(a)[..., None]
     if eps:
-        ok = l > eps
-        safe = jnp.where(ok, l, 1.0)
-        return jnp.where(ok, a / safe, 0.0)
-    return a / l
+        # guard the sqrt OPERAND, not just the divide: sqrt'(0) = inf, and
+        # reverse-mode turns (zero cotangent) * inf into NaN even when the
+        # outer where discards the branch (seen on PT backscatter lanes
+        # where w_i + w_o ~ 0 in the half-vector)
+        n2 = jnp.sum(a * a, axis=-1)[..., None]
+        ok = n2 > eps * eps
+        l = jnp.sqrt(jnp.where(ok, n2, 1.0))
+        return jnp.where(ok, a / l, 0.0)
+    return a / length(a)[..., None]
 
 
 def reflect(normal: Array, w_o: Array) -> Array:
@@ -77,8 +81,13 @@ def orthonormal_basis(r: Array) -> tuple[Array, Array]:
         ],
         axis=-1,
     )
-    u = normalize(cross(rp, r))
-    v = normalize(cross(r, u))
+    # eps guard: a degenerate r (zero vector on masked/miss lanes) makes
+    # cross(rp, r) = 0; an unguarded 0/0 here poisons reverse-mode AD of
+    # anything sharing the graph (PT GI sampling builds a basis on every
+    # lane's normal, live or not) — forward values are unchanged for any
+    # non-degenerate r
+    u = normalize(cross(rp, r), eps=1e-20)
+    v = normalize(cross(r, u), eps=1e-20)
     return u, v
 
 

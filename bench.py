@@ -65,10 +65,11 @@ def main_bwd() -> None:
 
     Routes through the fused fwd+bwd Pallas kernel (ops/pallas/megabwd.py)
     when the scene is eligible; --bwd-jnp forces the jnp wavefront.
-    --bwd-scene {conductors|alt2|spotareaml|<path>} picks the scene
+    --bwd-scene {conductors|alt2|spotareaml|pt|<path>} picks the scene
     (default conductors); alt2 = dielectric chains (stochastic single-path
     kernel), spotareaml = scenes/feat_spotareaml.xml (spot + area +
-    emissive mesh light)."""
+    emissive mesh light), pt = scenes/feat_pt.xml (path tracing: GI
+    continuation + NEE + importance sampling, round 4)."""
     import jax
     import jax.numpy as jnp
 
@@ -97,6 +98,7 @@ def main_bwd() -> None:
         "alt2": ("/root/reference/archive/hw1_inputs/"
                  "cornellbox_recursive_alt2.xml"),
         "spotareaml": "scenes/feat_spotareaml.xml",
+        "pt": "scenes/feat_pt.xml",
     }
     name = "conductors"
     if "--bwd-scene" in sys.argv:
@@ -107,12 +109,16 @@ def main_bwd() -> None:
     pack = pack_scene(cfg)
     cam_cfg = cfg.cameras[0]
     cam = _camera_cached(cam_cfg)
+    cam_opts = options_for_camera(cfg, cam_cfg)
     # fixed-trip differentiable wavefront (reverse-mode AD cannot cross
-    # lax.while_loop); depth+2 iterations covers the specular chains
+    # lax.while_loop); depth+2 iterations covers the specular/GI chains
     opts = RenderOptions(max_depth=cfg.max_recursion_depth,
                          differentiable=True,
                          max_iters=cfg.max_recursion_depth + 2,
-                         stochastic_dielectric=pack.static.has_dielectric)
+                         stochastic_dielectric=pack.static.has_dielectric,
+                         path_tracing=cam_opts.path_tracing,
+                         next_event_estimation=cam_opts.next_event_estimation,
+                         importance_sampling=cam_opts.importance_sampling)
 
     w, h = 1920, 1080
     n = w * h
@@ -127,12 +133,11 @@ def main_bwd() -> None:
     py_all = jnp.asarray(ys * (cam_cfg.height / h), jnp.float32)
     params = extract_params(pack, ("mat_diffuse", "pl_intensity", "verts"))
 
-    r_opts = options_for_camera(cfg, cfg.cameras[0])
     use_fused = ("--bwd-jnp" not in sys.argv
-                 and bwd_eligible(pack.static, r_opts, pack)
+                 and bwd_eligible(pack.static, cam_opts, pack)
                  and jax.default_backend() == "tpu")
     if use_fused:
-        render = make_diff_render(pack, r_opts)
+        render = make_diff_render(pack, cam_opts)
 
         def loss_fn(params, px, py, key):
             o, d = generate_rays(cam, px, py, jnp.zeros((px.shape[0], 2)),

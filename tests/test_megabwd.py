@@ -132,8 +132,15 @@ def test_megabwd_eligibility_gates():
     opts2 = options_for_camera(cfg2, cfg2.cameras[0])
     assert bwd_eligible(pack2.static, opts2, pack2)
     import dataclasses
+    # PT on a diffuse-only scene is eligible since round 4 — but not with
+    # Russian roulette, and not with specular materials in the scene
     pt = dataclasses.replace(opts2, path_tracing=True)
-    assert not bwd_eligible(pack2.static, pt, pack2)
+    assert bwd_eligible(pack2.static, pt, pack2)
+    pt_rr = dataclasses.replace(pt, russian_roulette=True)
+    assert not bwd_eligible(pack2.static, pt_rr, pack2)
+    pt_spec = dataclasses.replace(
+        options_for_camera(cfg, cfg.cameras[0]), path_tracing=True)
+    assert not bwd_eligible(pack.static, pt_spec, pack)  # dielectric + PT
     deep = dataclasses.replace(opts2, max_depth=9)
     assert not bwd_eligible(pack2.static, deep, pack2)
     # textured scenes stay on the wavefront
@@ -271,3 +278,88 @@ def test_megabwd_optimize_routing():
     _, hist = optimize(wrong, cam, px, py, opts, target,
                        ("mat_diffuse",), steps=10, lr=0.08, use_fused=True)
     assert hist[-1] < hist[0] * 0.35, hist
+
+
+PT_PARAMS = ("mat_ambient", "mat_diffuse", "mat_specular", "mat_phong",
+             "mat_radiance", "ml_radiance", "bg_color", "verts")
+
+
+@pytest.mark.parametrize("renderer_params", [
+    "NextEventEstimation ImportanceSampling",
+    "NextEventEstimation",
+    "",
+])
+def test_megabwd_path_tracing_matches_wavefront(tmp_path, renderer_params):
+    """Path tracing through the fused fwd+bwd kernel (round 4): the GI
+    continuation consumes the oracle's replayed k_gi uniforms
+    (wavefront_rng need_gi), the GI trace doubles as the next segment's
+    scene trace, and NEE skips the mesh light each lane's GI ray hit —
+    so values AND gradients match the differentiable wavefront
+    lane-for-lane in all three RendererParams modes
+    (raytracer.cpp:135-191)."""
+    from tests.scene_builders import cornell_pt_xml
+
+    (tmp_path / "pt.xml").write_text(
+        cornell_pt_xml(depth=2, res=32, spp=1, params=renderer_params))
+    cfg = load_scene(str(tmp_path / "pt.xml"))
+    pack = pack_scene(cfg)
+    cam_cfg = cfg.cameras[0]
+    cam = build_camera(cam_cfg)
+    opts = options_for_camera(cfg, cam_cfg)
+    assert opts.path_tracing
+    assert bwd_eligible(pack.static, opts, pack)
+    n = 256
+    rng = np.random.default_rng(3)
+    px = jnp.asarray(rng.uniform(0, cam_cfg.width, n).astype(np.float32))
+    py = jnp.asarray(rng.uniform(0, cam_cfg.height, n).astype(np.float32))
+    o, d = generate_rays(cam, px, py, jnp.zeros((n, 2)), dof=False)
+    d_opts = RenderOptions(
+        max_depth=opts.max_depth, differentiable=True,
+        max_iters=opts.max_depth + 2, path_tracing=True,
+        next_event_estimation=opts.next_event_estimation,
+        importance_sampling=opts.importance_sampling)
+    params = extract_params(pack, PT_PARAMS)
+    f = make_diff_render(pack, opts, interpret=True)
+
+    def loss_k(p):
+        img = f(p, o, d)
+        return jnp.sum(img * jnp.cos(0.01 * img))
+
+    def loss_j(p):
+        img = trace_radiance(inject_params(pack, p), cam, px, py,
+                             jax.random.PRNGKey(0), d_opts)
+        return jnp.sum(img * jnp.cos(0.01 * img))
+
+    v0, g0 = jax.value_and_grad(loss_j)(params)
+    v1, g1 = jax.value_and_grad(loss_k)(params)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=2e-4)
+    for k in PT_PARAMS:
+        a, b = np.asarray(g0[k]), np.asarray(g1[k])
+        if a.size == 0:
+            continue
+        assert np.all(np.isfinite(a)), f"oracle NaN: {k}"
+        assert np.all(np.isfinite(b)), k
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, rtol=5e-3, atol=5e-4 * scale,
+                                   err_msg=k)
+    # GI bounces actually carry gradient: the light's radiance reaches the
+    # camera only through the sampled chain in the non-NEE mode
+    assert np.abs(np.asarray(g1["mat_diffuse"])).sum() > 0
+    assert (np.abs(np.asarray(g1["mat_radiance"])).sum()
+            + np.abs(np.asarray(g1["ml_radiance"])).sum()) > 0
+    if renderer_params.startswith("NextEventEstimation Importance"):
+        # finite-difference check of the KERNEL's own forward on the wall
+        # diffuse (estimator is deterministic given the replayed draws, so
+        # central differences are exact up to fp noise)
+        kd = np.asarray(params["mat_diffuse"]).copy()
+        h = 1e-3
+        vals = []
+        for s in (+h, -h):
+            kd2 = kd.copy()
+            kd2[0, 0] += s
+            p2 = dict(params)
+            p2["mat_diffuse"] = jnp.asarray(kd2)
+            vals.append(float(loss_k(p2)))
+        fd = (vals[0] - vals[1]) / (2 * h)
+        ad = float(np.asarray(g1["mat_diffuse"])[0, 0])
+        np.testing.assert_allclose(ad, fd, rtol=2e-3)

@@ -95,7 +95,7 @@ def sec_spp1() -> None:
 def sec_bwd() -> None:
     import bench
 
-    for scene in ("conductors", "alt2", "spotareaml"):
+    for scene in ("conductors", "alt2", "spotareaml", "pt"):
         with argv("--bwd", "--bwd-scene", scene):
             bench.main_bwd()
 

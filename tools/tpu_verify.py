@@ -118,6 +118,7 @@ def main() -> int:
             ("conductors", INPUTS / "cornellbox_recursive_conductors.xml"),
             ("alt2", INPUTS / "cornellbox_recursive_alt2.xml"),
             ("spotareaml", repo / "scenes" / "feat_spotareaml.xml"),
+            ("pt", repo / "scenes" / "feat_pt.xml"),
         ]
         keys = ("mat_ambient", "mat_diffuse", "mat_specular", "mat_mirror",
                 "mat_phong", "mat_radiance", "pl_intensity", "dl_radiance",
@@ -144,11 +145,15 @@ def main() -> int:
 
             # dielectric scenes: the kernel is the stochastic single-path
             # estimator, so the oracle must run in the same mode (both
-            # consume identical branch uniforms via wavefront_rng)
+            # consume identical branch uniforms via wavefront_rng); PT
+            # scenes likewise replay the same GI draws (need_gi)
             d_opts = RenderOptions(
                 max_depth=opts.max_depth, differentiable=True,
                 max_iters=opts.max_depth + 2,
-                stochastic_dielectric=pack.static.has_dielectric)
+                stochastic_dielectric=pack.static.has_dielectric,
+                path_tracing=opts.path_tracing,
+                next_event_estimation=opts.next_event_estimation,
+                importance_sampling=opts.importance_sampling)
 
             def loss_j(p, pack=pack, cam=cam, px=px, py=py, d_opts=d_opts):
                 img = trace_radiance(inject_params(pack, p), cam, px, py,
