@@ -72,6 +72,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from advanced_cpu_raytracing_tpu.scene.types import MaterialType
 
+_RR_FLOOR = 8  # == integrator.RR_DEPTH_FLOOR (estimator semantics)
+
 ROWS, LANES = 8, 128
 TILE = ROWS * LANES
 BIG = 3.0e37
@@ -123,10 +125,19 @@ class BwdConsts:
     has_emissive: bool
     with_bwd: bool
     # path tracing (diffuse-only GI continuation; eligibility forbids
-    # specular materials and RR when pt is set)
+    # specular materials when pt is set)
     pt: bool = False
     pt_importance: bool = False
     pt_nee: bool = True
+    # Russian roulette: extra segments past depth 0 (integrator.py
+    # RR_DEPTH_FLOOR), replayed kill draws, differentiable 1/prob reweight
+    pt_rr: bool = False
+    rr_floor: int = 0
+
+
+def bc_depth(bc) -> int:
+    """Chain segments: primary + max_depth bounces (+ RR floor)."""
+    return bc.max_depth + 1 + (bc.rr_floor if bc.pt_rr else 0)
 
 
 def bwd_eligible(static, opts, pack=None) -> bool:
@@ -135,14 +146,16 @@ def bwd_eligible(static, opts, pack=None) -> bool:
         pack is not None and static.n_mesh_lights <= 2
         and int(np.asarray(pack.ml_face_count).max()) <= 32)
     # PT chains stay linear only when every non-emissive hit continues via
-    # ONE sampled GI child: diffuse-only scenes, no Russian roulette (its
-    # 1/prob reweighting would need the RR draw replayed AND prob built
-    # from the differentiable throughput — wavefront-only for now)
+    # ONE sampled GI child: diffuse-only scenes.  RR is covered (replayed
+    # kill draws + differentiable 1/prob reweight) but adds RR_DEPTH_FLOOR
+    # unrolled segments, so the depth budget tightens.
+    from advanced_cpu_raytracing_tpu.render.integrator import RR_DEPTH_FLOOR
     pt_ok = (not opts.path_tracing) or (
-        not opts.russian_roulette
-        and not static.has_mirror
+        not static.has_mirror
         and not static.has_conductor
-        and not static.has_dielectric)
+        and not static.has_dielectric
+        and (not opts.russian_roulette
+             or opts.max_depth + RR_DEPTH_FLOOR <= 12))
     return (
         pt_ok
         and opts.max_depth <= 8
@@ -233,11 +246,14 @@ def build_bwd_consts(pack, opts, with_bwd: bool) -> BwdConsts:
         pt=bool(opts.path_tracing),
         pt_importance=bool(opts.importance_sampling),
         pt_nee=bool(opts.next_event_estimation),
+        pt_rr=bool(opts.path_tracing and opts.russian_roulette),
+        rr_floor=_RR_FLOOR,
     )
 
 
 def wavefront_rng(key, r: int, D: int, n_area: int, need_diel: bool,
-                  ml_counts: tuple = (), need_gi: bool = False):
+                  ml_counts: tuple = (), need_gi: bool = False,
+                  need_rr: bool = False):
     """Replay trace_radiance's key-split schedule so the kernel consumes
     the SAME area-light offsets, mesh-light face picks + barycentric
     uniforms, dielectric branch uniforms, and (path tracing) GI direction
@@ -255,10 +271,12 @@ def wavefront_rng(key, r: int, D: int, n_area: int, need_diel: bool,
     ugi (D*2 or 0, r)) f32; uml planes per (segment, light) are
     [fsel (float of int), r12a, r12b]; ugi planes per segment are
     [r12[:,0] (phi), r12[:,1] (theta)] from _process_hit's k_gi draw
-    (integrator.py:261).
+    (integrator.py:261); with need_rr, D Russian-roulette kill draws
+    (k_rr, integrator.py:255) are APPENDED after the 2*D gi planes
+    (plane 2*D + k is segment k's draw).
     """
     key, _k_time, _k_lens, k_loop = jax.random.split(key, 4)
-    offs, mls, uds, gis = [], [], [], []
+    offs, mls, uds, gis, rrs = [], [], [], [], []
     k = k_loop
     for _ in range(D):
         k, k_it = jax.random.split(k)
@@ -268,6 +286,8 @@ def wavefront_rng(key, r: int, D: int, n_area: int, need_diel: bool,
             r12 = jax.random.uniform(_k_gi, (r, 2))
             gis.append(r12[:, 0])
             gis.append(r12[:, 1])
+        if need_rr:
+            rrs.append(jax.random.uniform(_k_rr, (r,)))
         kk = k_dl
         for _i in range(n_area):
             kk, sub = jax.random.split(kk)
@@ -286,7 +306,8 @@ def wavefront_rng(key, r: int, D: int, n_area: int, need_diel: bool,
     uab = (jnp.stack(offs) if offs else jnp.zeros((0, r), jnp.float32))
     uml = (jnp.stack(mls) if mls else jnp.zeros((0, r), jnp.float32))
     ud = (jnp.stack(uds) if uds else jnp.zeros((0, r), jnp.float32))
-    ugi = (jnp.stack(gis) if gis else jnp.zeros((0, r), jnp.float32))
+    ugi = (jnp.stack(gis + rrs) if (gis or rrs)
+           else jnp.zeros((0, r), jnp.float32))
     return uab.astype(jnp.float32), uml.astype(jnp.float32), \
         ud.astype(jnp.float32), ugi.astype(jnp.float32)
 
@@ -324,7 +345,7 @@ def _kernel(*refs, bc: BwdConsts):
     ZERO = jnp.zeros(shape, jnp.float32)
     ONE = jnp.ones(shape, jnp.float32)
     FALSE = jnp.zeros(shape, jnp.bool_)
-    D = bc.max_depth + 1  # chain segments: primary + max_depth reflections
+    D = bc_depth(bc)  # primary + max_depth bounces (+ RR floor segments)
     eps = bc.eps
     P, Pd = len(bc.pl_pos), len(bc.dl_wi)
     Ps, Pa, Pm = len(bc.spots), len(bc.areas), len(bc.mlights)
@@ -797,7 +818,7 @@ def _kernel(*refs, bc: BwdConsts):
             # --- chain child: specular (mirror 442-472, conductor 208-254,
             # dielectric 261-415 single-path) or sampled GI continuation
             # (path tracing, raytracer.cpp:135-191) ---
-            if k == bc.max_depth or not (bc.has_mirror or bc.has_conductor
+            if k == bc_depth(bc) - 1 or not (bc.has_mirror or bc.has_conductor
                                          or bc.has_dielectric or bc.pt):
                 z = ZERO
                 return (lr, lg, lb, z, z, z + 1.0, z, z, z + 1.0, z, z, z)
@@ -812,6 +833,15 @@ def _kernel(*refs, bc: BwdConsts):
                 r1, r2 = st["gi_r12"]
                 gdx, gdy, gdz = gi_direction(nx, ny, nz, r1, r2)
                 vx_, vy_, vz_ = shade_unit(gdx, gdy, gdz)
+                if bc.pt_rr and (bc.max_depth - k) <= 0:
+                    # differentiable RR reweight 1/prob on the SAME
+                    # throughput the kill decision used (integrator.py:257)
+                    prob = jnp.clip(
+                        jnp.maximum(wx_, jnp.maximum(wy_, wz_)), 1e-4, 1.0)
+                    inv_p = 1.0 / prob
+                    vx_ = vx_ * inv_p
+                    vy_ = vy_ * inv_p
+                    vz_ = vz_ * inv_p
                 o2x = jnp.where(chain, px + nx * 1e-4, 0.0)
                 o2y = jnp.where(chain, py + ny * 1e-4, 0.0)
                 o2z = jnp.where(chain, pz + nz * 1e-4, 0.0)
@@ -1135,13 +1165,22 @@ def _kernel(*refs, bc: BwdConsts):
         # specular chain.  Direction/origin values here are numerically
         # identical to the step's differentiable recompute (same formulas
         # on the same winner facts).
-        if bc.pt and k < bc.max_depth:
+        if bc.pt and k < bc_depth(bc) - 1:
             r1 = ugi_ref[2 * k, :, :]
             r2 = ugi_ref[2 * k + 1, :, :]
             st["gi_r12"] = (r1, r2)
             # gi_alive = active & ~emissive & (depth > 0); depth > 0 is
             # static (k < max_depth) — integrator.py:255-258
             gi_alive = shadeable
+            if bc.pt_rr and (bc.max_depth - k) <= 0:
+                # Russian roulette (integrator.py:252-257): the kill draw
+                # is a replayed input, prob uses the VALUE of the same
+                # throughput the step reweights differentiably
+                prob_v = jnp.clip(
+                    jnp.maximum(w3[0], jnp.maximum(w3[1], w3[2])),
+                    1e-4, 1.0)
+                kill = ugi_ref[2 * (bc_depth(bc)) + k, :, :] > prob_v
+                gi_alive = gi_alive & ~kill
             gdx, gdy, gdz = gi_direction(nx_, ny_, nz_, r1, r2)
             t_sg = jnp.where(hit, st["t0"], 0.0)
             gox = o3[0] + t_sg * d3[0] + nx_ * 1e-4
@@ -1315,7 +1354,7 @@ def _bwd_call(bc: BwdConsts, tri_tab, chunk_tab, mat_tab, pl_tab, dl_tab,
     blk = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    D = bc.max_depth + 1
+    D = bc_depth(bc)
 
     extra_in = []
     extra_specs = []
@@ -1408,7 +1447,7 @@ def make_diff_render(pack, opts, interpret: bool = False):
     st = pack.static
     bc_f = build_bwd_consts(pack, opts, with_bwd=False)
     bc_b = build_bwd_consts(pack, opts, with_bwd=True)
-    D = bc_f.max_depth + 1
+    D = bc_depth(bc_f)
 
     # constant geometry/table pieces
     from advanced_cpu_raytracing_tpu.ops.pallas.megakernel import build_mega
@@ -1520,7 +1559,8 @@ def make_diff_render(pack, opts, interpret: bool = False):
             key = jax.random.PRNGKey(0)
         uab, uml, ud, ugi = wavefront_rng(key, o.shape[0], D, Pa,
                                           st.has_dielectric, ml_counts,
-                                          need_gi=bc_f.pt)
+                                          need_gi=bc_f.pt,
+                                          need_rr=bc_f.pt_rr)
         return render(mat_tab, pl_tab, dl_tab, sl_tab, al_tab, ml_tab,
                       bg_tab, tri_w, o, d, uab, uml, ud, ugi)
 

@@ -99,6 +99,7 @@ def main_bwd() -> None:
                  "cornellbox_recursive_alt2.xml"),
         "spotareaml": "scenes/feat_spotareaml.xml",
         "pt": "scenes/feat_pt.xml",
+        "ptrr": "scenes/feat_pt_rr.xml",
     }
     name = "conductors"
     if "--bwd-scene" in sys.argv:
@@ -109,16 +110,22 @@ def main_bwd() -> None:
     pack = pack_scene(cfg)
     cam_cfg = cfg.cameras[0]
     cam = _camera_cached(cam_cfg)
+    from advanced_cpu_raytracing_tpu.render.integrator import RR_DEPTH_FLOOR
+
     cam_opts = options_for_camera(cfg, cam_cfg)
+    rr = cam_opts.path_tracing and cam_opts.russian_roulette
     # fixed-trip differentiable wavefront (reverse-mode AD cannot cross
     # lax.while_loop); depth+2 iterations covers the specular/GI chains
+    # (+ the RR floor when roulette extends them)
     opts = RenderOptions(max_depth=cfg.max_recursion_depth,
                          differentiable=True,
-                         max_iters=cfg.max_recursion_depth + 2,
+                         max_iters=cfg.max_recursion_depth + 2
+                         + (RR_DEPTH_FLOOR if rr else 0),
                          stochastic_dielectric=pack.static.has_dielectric,
                          path_tracing=cam_opts.path_tracing,
                          next_event_estimation=cam_opts.next_event_estimation,
-                         importance_sampling=cam_opts.importance_sampling)
+                         importance_sampling=cam_opts.importance_sampling,
+                         russian_roulette=cam_opts.russian_roulette)
 
     w, h = 1920, 1080
     n = w * h

@@ -132,12 +132,15 @@ def test_megabwd_eligibility_gates():
     opts2 = options_for_camera(cfg2, cfg2.cameras[0])
     assert bwd_eligible(pack2.static, opts2, pack2)
     import dataclasses
-    # PT on a diffuse-only scene is eligible since round 4 — but not with
-    # Russian roulette, and not with specular materials in the scene
+    # PT on a diffuse-only scene is eligible since round 4, RR included —
+    # but RR adds RR_DEPTH_FLOOR unrolled segments, so deep scenes bust
+    # the 12-segment RR budget; and specular+PT stays wavefront
     pt = dataclasses.replace(opts2, path_tracing=True)
     assert bwd_eligible(pack2.static, pt, pack2)
     pt_rr = dataclasses.replace(pt, russian_roulette=True)
-    assert not bwd_eligible(pack2.static, pt_rr, pack2)
+    assert bwd_eligible(pack2.static, pt_rr, pack2)  # depth 0 + 8 <= 12
+    pt_rr_deep = dataclasses.replace(pt_rr, max_depth=5)
+    assert not bwd_eligible(pack2.static, pt_rr_deep, pack2)  # 5 + 8 > 12
     pt_spec = dataclasses.replace(
         options_for_camera(cfg, cfg.cameras[0]), path_tracing=True)
     assert not bwd_eligible(pack.static, pt_spec, pack)  # dielectric + PT
@@ -363,3 +366,63 @@ def test_megabwd_path_tracing_matches_wavefront(tmp_path, renderer_params):
         fd = (vals[0] - vals[1]) / (2 * h)
         ad = float(np.asarray(g1["mat_diffuse"])[0, 0])
         np.testing.assert_allclose(ad, fd, rtol=2e-3)
+
+
+def test_megabwd_path_tracing_russian_roulette(tmp_path):
+    """RR in the fused kernel (late round 4): replayed kill draws
+    (wavefront_rng need_rr), differentiable 1/prob reweight on the same
+    throughput the kill used, RR_DEPTH_FLOOR extra unrolled segments
+    (integrator.py:252-258).  depth 1 keeps the 10-segment interpret-mode
+    compile ~1.5 min on this host.  The loss is log1p: RR fireflies
+    (1/prob up to 1e4) make oscillatory losses chaotic in fp32, hiding
+    the true lane-for-lane agreement."""
+    from tests.scene_builders import cornell_pt_xml
+    from advanced_cpu_raytracing_tpu.render.integrator import RR_DEPTH_FLOOR
+
+    (tmp_path / "pt.xml").write_text(cornell_pt_xml(
+        depth=1, res=32, spp=1,
+        params="NextEventEstimation ImportanceSampling RussianRoulette"))
+    cfg = load_scene(str(tmp_path / "pt.xml"))
+    pack = pack_scene(cfg)
+    cam_cfg = cfg.cameras[0]
+    cam = build_camera(cam_cfg)
+    opts = options_for_camera(cfg, cam_cfg)
+    assert opts.russian_roulette
+    assert bwd_eligible(pack.static, opts, pack)
+    n = 128
+    rng = np.random.default_rng(3)
+    px = jnp.asarray(rng.uniform(0, cam_cfg.width, n).astype(np.float32))
+    py = jnp.asarray(rng.uniform(0, cam_cfg.height, n).astype(np.float32))
+    o, d = generate_rays(cam, px, py, jnp.zeros((n, 2)), dof=False)
+    d_opts = RenderOptions(
+        max_depth=opts.max_depth, differentiable=True,
+        max_iters=opts.max_depth + RR_DEPTH_FLOOR + 2, path_tracing=True,
+        next_event_estimation=True, importance_sampling=True,
+        russian_roulette=True)
+    params = extract_params(pack, PT_PARAMS)
+    f = make_diff_render(pack, opts, interpret=True)
+
+    def loss_k(p):
+        return jnp.sum(jnp.log1p(f(p, o, d)))
+
+    def loss_j(p):
+        img = trace_radiance(inject_params(pack, p), cam, px, py,
+                             jax.random.PRNGKey(0), d_opts)
+        return jnp.sum(jnp.log1p(img))
+
+    v0, g0 = jax.value_and_grad(loss_j)(params)
+    v1, g1 = jax.value_and_grad(loss_k)(params)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=2e-4)
+    for k in PT_PARAMS:
+        a, b = np.asarray(g0[k]), np.asarray(g1[k])
+        if a.size == 0:
+            continue
+        assert np.all(np.isfinite(a)), f"oracle NaN: {k}"
+        assert np.all(np.isfinite(b)), k
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, rtol=5e-3, atol=1e-3 * scale,
+                                   err_msg=k)
+    # the RR tail actually fires: some lane survives past depth 0 (the
+    # chain would otherwise stop at 2 segments and this test proves
+    # nothing about the floor)
+    assert float(jnp.sum(jnp.abs(g1["mat_radiance"]))) > 0

@@ -119,6 +119,7 @@ def main() -> int:
             ("alt2", INPUTS / "cornellbox_recursive_alt2.xml"),
             ("spotareaml", repo / "scenes" / "feat_spotareaml.xml"),
             ("pt", repo / "scenes" / "feat_pt.xml"),
+            ("ptrr", repo / "scenes" / "feat_pt_rr.xml"),
         ]
         keys = ("mat_ambient", "mat_diffuse", "mat_specular", "mat_mirror",
                 "mat_phong", "mat_radiance", "pl_intensity", "dl_radiance",
@@ -140,25 +141,39 @@ def main() -> int:
             params = extract_params(pack, keys)
             render = make_diff_render(pack, opts)
 
-            def loss_k(p, render=render, o=o, d=d):
-                return jnp.sum(jnp.asarray(render(p, o, d)) ** 2)
+            # RR scenes use a log1p loss: 1/prob fireflies reach ~1e4
+            # radiance, where an img**2 cotangent amplifies benign 1e-6
+            # lane diffs into apparent 1e-3 gradient gaps
+            rr = bool(opts.russian_roulette and opts.path_tracing)
+
+            def red(img, rr=rr):
+                return (jnp.sum(jnp.log1p(img)) if rr
+                        else jnp.sum(img ** 2))
+
+            def loss_k(p, render=render, o=o, d=d, red=red):
+                return red(jnp.asarray(render(p, o, d)))
 
             # dielectric scenes: the kernel is the stochastic single-path
             # estimator, so the oracle must run in the same mode (both
             # consume identical branch uniforms via wavefront_rng); PT
-            # scenes likewise replay the same GI draws (need_gi)
+            # scenes likewise replay the same GI (and RR kill) draws
+            from advanced_cpu_raytracing_tpu.render.integrator import (
+                RR_DEPTH_FLOOR,
+            )
             d_opts = RenderOptions(
                 max_depth=opts.max_depth, differentiable=True,
-                max_iters=opts.max_depth + 2,
+                max_iters=opts.max_depth + 2 + (RR_DEPTH_FLOOR if rr else 0),
                 stochastic_dielectric=pack.static.has_dielectric,
                 path_tracing=opts.path_tracing,
                 next_event_estimation=opts.next_event_estimation,
-                importance_sampling=opts.importance_sampling)
+                importance_sampling=opts.importance_sampling,
+                russian_roulette=opts.russian_roulette)
 
-            def loss_j(p, pack=pack, cam=cam, px=px, py=py, d_opts=d_opts):
+            def loss_j(p, pack=pack, cam=cam, px=px, py=py, d_opts=d_opts,
+                       red=red):
                 img = trace_radiance(inject_params(pack, p), cam, px, py,
                                      jax.random.PRNGKey(0), d_opts)
-                return jnp.sum(img ** 2)
+                return red(img)
 
             t0 = _time.perf_counter()
             vk, gk = jax.jit(jax.value_and_grad(loss_k))(params)
