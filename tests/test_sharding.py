@@ -141,3 +141,56 @@ def test_sharded_tonemap_matches_single():
         # u8 outputs; floor() may flip by 1 on fp reduction-order ties
         assert np.mean(np.abs(a.astype(int) - b.astype(int))) < 0.02
         assert np.max(np.abs(a.astype(int) - b.astype(int))) <= 1
+
+
+def test_sharded_diff_step_matches_single(scene):
+    """The fused fwd+bwd kernel sharded per device (make_sharded_diff_step):
+    loss and parameter gradients equal the single-device kernel's — the
+    psum inserted by shard_map's transpose is exact up to reduction
+    order."""
+    import dataclasses
+
+    from advanced_cpu_raytracing_tpu.diff.params import extract_params
+    from advanced_cpu_raytracing_tpu.ops.pallas.megabwd import (
+        make_diff_render,
+    )
+    from advanced_cpu_raytracing_tpu.parallel.shard_render import (
+        make_sharded_diff_step,
+    )
+    from advanced_cpu_raytracing_tpu.render.camera import generate_rays
+    from advanced_cpu_raytracing_tpu.render.renderer import (
+        options_for_camera,
+    )
+
+    cfg, pack = scene
+    cam = build_camera(cfg.cameras[0])
+    opts = dataclasses.replace(
+        options_for_camera(cfg, cfg.cameras[0]), max_depth=2)
+    mesh = make_device_mesh()
+    n = 256  # divides 8 devices * 8 sublanes
+    rng = np.random.default_rng(4)
+    px = jnp.asarray(rng.uniform(0, 799, n).astype(np.float32))
+    py = jnp.asarray(rng.uniform(0, 799, n).astype(np.float32))
+    target = jnp.zeros((n, 3), jnp.float32)
+    params = extract_params(pack, ("mat_diffuse", "pl_intensity", "verts"))
+
+    step = make_sharded_diff_step(pack, opts, cam, mesh=mesh,
+                                  interpret=True)
+    loss_sh, g_sh = step(params, px, py, target, None)
+
+    render = make_diff_render(pack, opts, interpret=True)
+
+    def loss_single(p):
+        o, d = generate_rays(cam, px, py, jnp.zeros((n, 2)), dof=False)
+        img = render(p, o, d)
+        return jnp.sum((img - target) ** 2) / (3.0 * n)
+
+    loss_1, g_1 = jax.value_and_grad(loss_single)(params)
+    np.testing.assert_allclose(float(loss_sh), float(loss_1), rtol=1e-6)
+    for k in g_1:
+        a, b = np.asarray(g_1[k]), np.asarray(g_sh[k])
+        if a.size == 0:
+            continue
+        scale = max(np.abs(a).max(), 1e-9)
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6 * scale,
+                                   err_msg=k)
