@@ -248,7 +248,9 @@ def _textures_eligible(static, pack) -> bool:
     with normal-map / replace_all / bump slots must have identity normal
     matrices, since the kernel's TBN columns live in world space while the
     reference maps normals in object space (mesh.cpp:264-357)."""
-    if pack is None or static.n_textures > 4 or static.has_motion:
+    # 8 textures max: the kernel unrolls per texture, and the shared
+    # total_texels budget below bounds VMEM regardless of count
+    if pack is None or static.n_textures > 8 or static.has_motion:
         return False
     if getattr(static, "n_brdfs", 0) > 0:
         return False

@@ -1039,3 +1039,61 @@ def test_megakernel_streamed_geometry(monkeypatch):
                                       jax.random.PRNGKey(0), opts))
     diff = np.abs(l_str - l_jnp)
     assert np.mean(diff) < 0.01, np.mean(diff)
+
+
+def test_megakernel_six_textures(tmp_path):
+    """More than 4 textures route in-kernel since late round 4 (the gate is
+    the shared total-texel VMEM budget, not the count): IMAGE_SCENE grown
+    to 6 maps (3 image decals + perlin replace_kd + perlin bump + image
+    blend on the mirror) still matches the jnp wavefront."""
+    from advanced_cpu_raytracing_tpu.ops.pallas.megakernel import (
+        build_mega as _bm,
+        mega_trace as _mt,
+        mega_eligible as _me,
+    )
+    from advanced_cpu_raytracing_tpu.render.renderer import options_for_camera
+
+    img1 = tmp_path / "t1.png"
+    img2 = tmp_path / "t2.png"
+    _write_test_png(img1, 16, 16, 3)
+    _write_test_png(img2, 33, 7, 4)
+    xml = IMAGE_SCENE.format(img1=img1, img2=img2)
+    xml = xml.replace(
+        """    <TextureMap id="4" type="perlin">""",
+        """    <TextureMap id="5" type="perlin">
+      <DecalMode>bump_normal</DecalMode>
+      <NoiseConversion>linear</NoiseConversion>
+      <NoiseScale>2</NoiseScale>
+      <BumpFactor>0.5</BumpFactor>
+    </TextureMap>
+    <TextureMap id="6" type="image">
+      <DecalMode>blend_kd</DecalMode><ImageId>1</ImageId>
+      <Interpolation>nearest</Interpolation>
+    </TextureMap>
+    <TextureMap id="4" type="perlin">""")
+    xml = xml.replace(
+        '<Mesh id="3"><Material>3</Material>\n      <Faces>9 10 11  9 11 12</Faces></Mesh>',
+        '<Mesh id="3"><Material>3</Material><Textures>6</Textures>\n'
+        '      <Faces>9 10 11  9 11 12</Faces></Mesh>')
+    xml = xml.replace("<Textures>1</Textures>", "<Textures>1 5</Textures>")
+    p = tmp_path / "sixtex.xml"
+    p.write_text(xml)
+    cfg = load_scene(str(p))
+    pack = pack_scene(cfg)
+    assert pack.static.n_textures == 6
+    opts = options_for_camera(cfg, cfg.cameras[0])
+    assert _me(pack.static, opts, pack)
+    mc, tab, ctab, img_tab = _bm(pack, opts)
+    cam = build_camera(cfg.cameras[0])
+    rng = np.random.default_rng(13)
+    n = 2048
+    px = jnp.asarray(rng.uniform(0, 320, n).astype(np.float32))
+    py = jnp.asarray(rng.uniform(0, 240, n).astype(np.float32))
+    o, d = cam_mod.generate_rays(cam, px, py, jnp.zeros((n, 2)), dof=False)
+    l_mega = np.asarray(_mt(mc, tab, ctab, o, d, interpret=True,
+                            img_tab=img_tab))
+    l_jnp = np.asarray(trace_radiance(pack, cam, px, py,
+                                      jax.random.PRNGKey(0), opts))
+    diff = np.abs(l_mega - l_jnp)
+    assert np.mean(diff) < 0.01, np.mean(diff)
+    assert np.quantile(diff, 0.999) < 0.5
