@@ -72,7 +72,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from advanced_cpu_raytracing_tpu.scene.types import MaterialType
 
-_RR_FLOOR = 8  # == integrator.RR_DEPTH_FLOOR (estimator semantics)
+# Kept equal to integrator.RR_DEPTH_FLOOR (estimator semantics); asserted
+# in build_bwd_consts so a drift breaks loudly instead of desynchronizing
+# the unrolled segment count / RNG replay from the wavefront oracle.
+_RR_FLOOR = 8
 
 ROWS, LANES = 8, 128
 TILE = ROWS * LANES
@@ -178,6 +181,9 @@ def bwd_eligible(static, opts, pack=None) -> bool:
 
 
 def build_bwd_consts(pack, opts, with_bwd: bool) -> BwdConsts:
+    from advanced_cpu_raytracing_tpu.render.integrator import RR_DEPTH_FLOOR
+
+    assert _RR_FLOOR == RR_DEPTH_FLOOR, (_RR_FLOOR, RR_DEPTH_FLOOR)
     st = pack.static
 
     def tup(a):

@@ -229,9 +229,13 @@ def make_sharded_diff_step(pack, opts, cam, mesh=None, interpret=None):
     not the 0.9 Mrays/s wavefront.
 
     Returns ``step(params, px, py, target, key=None) -> (loss, grads)``
-    (jit-able; pixel counts must divide mesh.size * 8).  Gradient semantics
-    identical to ``make_diff_render`` — tested equal to the single-device
-    kernel on the virtual mesh (tests/test_sharding.py).
+    (jit-able; pixel counts must divide mesh.size * 8).  Loss/gradients
+    equal the single-device kernel for deterministic scenes (tested on the
+    virtual mesh, tests/test_sharding.py); stochastic scenes draw
+    DIFFERENT (decorrelated, fold_in(key, device)) per-device streams than
+    the single-device lane layout — same estimator, different sample.
+    ``key=None`` defaults to PRNGKey(0) so the per-device fold_in still
+    decorrelates shards rather than replaying identical draws.
     """
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
@@ -254,12 +258,16 @@ def make_sharded_diff_step(pack, opts, cam, mesh=None, interpret=None):
     render = make_diff_render(pack, opts, interpret=interpret)
 
     def loss_fn(params, px, py, target, key):
+        if key is None:
+            # stochastic draws must still decorrelate across devices —
+            # fold_in below needs a real key, never a shared None
+            key = jax.random.PRNGKey(0)
+
         def local(params, px_s, py_s, tgt_s, key):
             r = px_s.shape[0]
             # per-device PRNG stream for the replayed stochastic draws
             # (area offsets / dielectric branches / GI directions)
-            k_dev = (jax.random.fold_in(key, jax.lax.axis_index(TILE_AXIS))
-                     if key is not None else None)
+            k_dev = jax.random.fold_in(key, jax.lax.axis_index(TILE_AXIS))
             o, d = generate_rays(cam, px_s, py_s, jnp.zeros((r, 2)),
                                  dof=False)
             img = render(params, o, d, key=k_dev)

@@ -256,15 +256,20 @@ def main(spp1: bool = False) -> None:
         # best of 6: the tunneled device->host fetch bandwidth swings >2x
         # between ~0.3 s windows, and the 16-spp pipeline is fetch-bound;
         # the best window reflects device throughput (the reference
-        # baseline is likewise best-of-3)
-        dt = min(run_pipeline() for _ in range(6))
+        # baseline is likewise best-of-3).  The median rides along in the
+        # record so the headline isn't mistaken for a typical-run figure.
+        samples = sorted(run_pipeline() for _ in range(6))
+        dt = samples[0]
+        dt_med = samples[len(samples) // 2]
     else:
         times = []
         for i in range(3):
             t0 = time.perf_counter()
             render_camera(pack, cfg, cam_cfg, seed=1 + i, spp=spp, ldr=True)
             times.append(time.perf_counter() - t0)
-        dt = sorted(times)[len(times) // 2]
+        times.sort()
+        dt = times[0]
+        dt_med = times[len(times) // 2]
 
     rate = paths / dt
     baseline = BASELINE_PATHS_PER_S if spp == 1 else BASELINE_16SPP_PATHS_PER_S
@@ -273,6 +278,8 @@ def main(spp1: bool = False) -> None:
         "value": round(rate / 1e6, 4),
         "unit": "Mpaths/s",
         "vs_baseline": round(rate / baseline, 3),
+        "median_value": round(paths / dt_med / 1e6, 4),
+        "median_vs_baseline": round(paths / dt_med / baseline, 3),
     }))
 
 
