@@ -127,8 +127,7 @@ class BwdConsts:
     has_dielectric: bool
     has_emissive: bool
     with_bwd: bool
-    # path tracing (diffuse-only GI continuation; eligibility forbids
-    # specular materials when pt is set)
+    # path tracing (GI continuation)
     pt: bool = False
     pt_importance: bool = False
     pt_nee: bool = True
@@ -136,6 +135,11 @@ class BwdConsts:
     # RR_DEPTH_FLOOR), replayed kill draws, differentiable 1/prob reweight
     pt_rr: bool = False
     rr_floor: int = 0
+    # PT + specular mixtures (round 5): where a hit spawns BOTH a GI child
+    # and a specular child, a replayed fair coin picks one and doubles its
+    # weight (integrator.py stochastic_spec_gi) — the chain stays linear;
+    # each segment runs TWO traces (continuation + GI), merged lane-wise
+    pt_spec: bool = False
 
 
 def bc_depth(bc) -> int:
@@ -148,17 +152,16 @@ def bwd_eligible(static, opts, pack=None) -> bool:
     ml_ok = static.n_mesh_lights == 0 or (
         pack is not None and static.n_mesh_lights <= 2
         and int(np.asarray(pack.ml_face_count).max()) <= 32)
-    # PT chains stay linear only when every non-emissive hit continues via
-    # ONE sampled GI child: diffuse-only scenes.  RR is covered (replayed
+    # PT chains stay linear for any material mix (round 5): specular hits
+    # use the stochastic single-child estimator (replayed coin picks GI vs
+    # specular, weight doubles — integrator.py stochastic_spec_gi), so
+    # every node still pushes at most one child.  RR is covered (replayed
     # kill draws + differentiable 1/prob reweight) but adds RR_DEPTH_FLOOR
     # unrolled segments, so the depth budget tightens.
     from advanced_cpu_raytracing_tpu.render.integrator import RR_DEPTH_FLOOR
     pt_ok = (not opts.path_tracing) or (
-        not static.has_mirror
-        and not static.has_conductor
-        and not static.has_dielectric
-        and (not opts.russian_roulette
-             or opts.max_depth + RR_DEPTH_FLOOR <= 12))
+        not opts.russian_roulette
+        or opts.max_depth + RR_DEPTH_FLOOR <= 12)
     return (
         pt_ok
         and opts.max_depth <= 8
@@ -254,12 +257,15 @@ def build_bwd_consts(pack, opts, with_bwd: bool) -> BwdConsts:
         pt_nee=bool(opts.next_event_estimation),
         pt_rr=bool(opts.path_tracing and opts.russian_roulette),
         rr_floor=_RR_FLOOR,
+        pt_spec=bool(opts.path_tracing
+                     and (st.has_mirror or st.has_conductor
+                          or st.has_dielectric)),
     )
 
 
 def wavefront_rng(key, r: int, D: int, n_area: int, need_diel: bool,
                   ml_counts: tuple = (), need_gi: bool = False,
-                  need_rr: bool = False):
+                  need_rr: bool = False, need_sg: bool = False):
     """Replay trace_radiance's key-split schedule so the kernel consumes
     the SAME area-light offsets, mesh-light face picks + barycentric
     uniforms, dielectric branch uniforms, and (path tracing) GI direction
@@ -279,10 +285,11 @@ def wavefront_rng(key, r: int, D: int, n_area: int, need_diel: bool,
     [r12[:,0] (phi), r12[:,1] (theta)] from _process_hit's k_gi draw
     (integrator.py:261); with need_rr, D Russian-roulette kill draws
     (k_rr, integrator.py:255) are APPENDED after the 2*D gi planes
-    (plane 2*D + k is segment k's draw).
+    (plane 2*D + k is segment k's draw); with need_sg, D spec-vs-GI coin
+    draws (k_c, stochastic_spec_gi) follow after those.
     """
     key, _k_time, _k_lens, k_loop = jax.random.split(key, 4)
-    offs, mls, uds, gis, rrs = [], [], [], [], []
+    offs, mls, uds, gis, rrs, sgs = [], [], [], [], [], []
     k = k_loop
     for _ in range(D):
         k, k_it = jax.random.split(k)
@@ -294,6 +301,8 @@ def wavefront_rng(key, r: int, D: int, n_area: int, need_diel: bool,
             gis.append(r12[:, 1])
         if need_rr:
             rrs.append(jax.random.uniform(_k_rr, (r,)))
+        if need_sg:
+            sgs.append(jax.random.uniform(_k_c, (r,)))
         kk = k_dl
         for _i in range(n_area):
             kk, sub = jax.random.split(kk)
@@ -312,7 +321,7 @@ def wavefront_rng(key, r: int, D: int, n_area: int, need_diel: bool,
     uab = (jnp.stack(offs) if offs else jnp.zeros((0, r), jnp.float32))
     uml = (jnp.stack(mls) if mls else jnp.zeros((0, r), jnp.float32))
     ud = (jnp.stack(uds) if uds else jnp.zeros((0, r), jnp.float32))
-    ugi = (jnp.stack(gis + rrs) if (gis or rrs)
+    ugi = (jnp.stack(gis + rrs + sgs) if (gis or rrs or sgs)
            else jnp.zeros((0, r), jnp.float32))
     return uab.astype(jnp.float32), uml.astype(jnp.float32), \
         ud.astype(jnp.float32), ugi.astype(jnp.float32)
@@ -578,6 +587,20 @@ def _kernel(*refs, bc: BwdConsts):
         return dict(t0=t_b, row=row, sphf=sphf, matf=matf, hit=hit,
                     n_tri=(nx, ny, nz), v9=v9)
 
+    def merge_st(m, a, b):
+        """Lane-wise trace-dict select: ``a`` where ``m`` else ``b``
+        (pt_spec: lanes that took the GI child reuse the previous
+        segment's GI trace, specular-chain lanes get a fresh one)."""
+        out = {}
+        for key_ in a:
+            va, vb = a[key_], b[key_]
+            if isinstance(va, (tuple, list)):
+                out[key_] = type(va)(
+                    jnp.where(m, x, y) for x, y in zip(va, vb))
+            else:
+                out[key_] = jnp.where(m, va, vb)
+        return out
+
     def shadow(px, py, pz, vx, vy, vz, limit, gate):
         def body(ti, blocked):
             t, valid = tri_hit(ti, px, py, pz, vx, vy, vz)
@@ -828,13 +851,18 @@ def _kernel(*refs, bc: BwdConsts):
                                          or bc.has_dielectric or bc.pt):
                 z = ZERO
                 return (lr, lg, lb, z, z, z + 1.0, z, z, z + 1.0, z, z, z)
+            # pt_spec: both a GI and a specular child exist below
+            # bc.max_depth — compute both (unmasked) and let the replayed
+            # coin's stored choice pick per lane, doubling the taken
+            # child's weight where both were available (the
+            # stochastic_spec_gi estimator; integrator.py)
+            merged = bc.pt and bc.pt_spec and k < bc.max_depth
             if bc.pt:
-                # eligibility forbids specular materials with PT, so the
-                # chain child is ALWAYS the GI bounce: direction from the
-                # replayed uniforms + the step's differentiable normal
-                # (constant for tris, differentiable for spheres — same
-                # semantics as the oracle), weight = w * Shade(unit) * 2pi
-                # * the continuation gate (integrator.py:286-292)
+                # GI bounce: direction from the replayed uniforms + the
+                # step's differentiable normal (constant for tris,
+                # differentiable for spheres — same semantics as the
+                # oracle), weight = w * Shade(unit) * 2pi
+                # (integrator.py:286-292)
                 chain = st["chain"]
                 r1, r2 = st["gi_r12"]
                 gdx, gdy, gdz = gi_direction(nx, ny, nz, r1, r2)
@@ -848,17 +876,24 @@ def _kernel(*refs, bc: BwdConsts):
                     vx_ = vx_ * inv_p
                     vy_ = vy_ * inv_p
                     vz_ = vz_ * inv_p
-                o2x = jnp.where(chain, px + nx * 1e-4, 0.0)
-                o2y = jnp.where(chain, py + ny * 1e-4, 0.0)
-                o2z = jnp.where(chain, pz + nz * 1e-4, 0.0)
-                d2x = jnp.where(chain, gdx, 0.0)
-                d2y = jnp.where(chain, gdy, 0.0)
-                d2z = jnp.where(chain, gdz, 1.0)
-                w2x = jnp.where(chain, wx_ * vx_ * TWO_PI, 0.0)
-                w2y = jnp.where(chain, wy_ * vy_ * TWO_PI, 0.0)
-                w2z = jnp.where(chain, wz_ * vz_ * TWO_PI, 0.0)
-                return (lr, lg, lb, o2x, o2y, o2z, d2x, d2y, d2z,
-                        w2x, w2y, w2z)
+                giox = px + nx * 1e-4
+                gioy = py + ny * 1e-4
+                gioz = pz + nz * 1e-4
+                giwx = wx_ * vx_ * TWO_PI
+                giwy = wy_ * vy_ * TWO_PI
+                giwz = wz_ * vz_ * TWO_PI
+                if not merged:
+                    o2x = jnp.where(chain, giox, 0.0)
+                    o2y = jnp.where(chain, gioy, 0.0)
+                    o2z = jnp.where(chain, gioz, 0.0)
+                    d2x = jnp.where(chain, gdx, 0.0)
+                    d2y = jnp.where(chain, gdy, 0.0)
+                    d2z = jnp.where(chain, gdz, 1.0)
+                    w2x = jnp.where(chain, giwx, 0.0)
+                    w2y = jnp.where(chain, giwy, 0.0)
+                    w2z = jnp.where(chain, giwz, 0.0)
+                    return (lr, lg, lb, o2x, o2y, o2z, d2x, d2y, d2z,
+                            w2x, w2y, w2z)
             chain = st["chain"]
             ndotwo = nx * wox + ny * woy + nz * woz
             rx, ry, rz = norm3(2.0 * nx * ndotwo - wox,
@@ -938,6 +973,20 @@ def _kernel(*refs, bc: BwdConsts):
                 w2x = jnp.where(df, wx_, w2x)
                 w2y = jnp.where(df, wy_, w2y)
                 w2z = jnp.where(df, wz_, w2z)
+            if merged:
+                # the stored coin choice picks GI vs specular per lane and
+                # doubles the taken child's weight where both existed
+                cg = st["cont_gi"]
+                two = jnp.where(st["both"], 2.0, 1.0)
+                o2x = jnp.where(cg, giox, o2x)
+                o2y = jnp.where(cg, gioy, o2y)
+                o2z = jnp.where(cg, gioz, o2z)
+                d2x = jnp.where(cg, gdx, d2x)
+                d2y = jnp.where(cg, gdy, d2y)
+                d2z = jnp.where(cg, gdz, d2z)
+                w2x = jnp.where(cg, giwx, w2x) * two
+                w2y = jnp.where(cg, giwy, w2y) * two
+                w2z = jnp.where(cg, giwz, w2z) * two
             o2x = jnp.where(chain, o2x, 0.0)
             o2y = jnp.where(chain, o2y, 0.0)
             o2z = jnp.where(chain, o2z, 0.0)
@@ -961,9 +1010,19 @@ def _kernel(*refs, bc: BwdConsts):
     Lr = Lg = Lb = ZERO
     segs = []  # (step_fn, leaves) per depth
     pending_st = None  # PT: segment k's GI trace IS segment k+1's trace
+    cont_gi_prev = None  # pt_spec: which lanes took the GI child
     for k in range(D):
-        if pending_st is not None:
+        if pending_st is not None and not bc.pt_spec:
             st = pending_st
+            pending_st = None
+        elif pending_st is not None:
+            # pt_spec: GI-takers reuse the stored GI trace; lanes that
+            # continued their specular chain trace fresh (inactive lanes
+            # keep chunk culls dead, so blocks without specular takers
+            # sweep nothing)
+            st_new = trace(o3[0], o3[1], o3[2], d3[0], d3[1], d3[2],
+                           active & ~cont_gi_prev)
+            st = merge_st(cont_gi_prev, pending_st, st_new)
             pending_st = None
         else:
             st = trace(o3[0], o3[1], o3[2], d3[0], d3[1], d3[2], active)
@@ -1166,12 +1225,14 @@ def _kernel(*refs, bc: BwdConsts):
 
         # ---- path tracing: GI continuation topology ----
         # The GI trace here IS the next segment's scene trace (pending_st):
-        # eligible PT scenes have no specular materials, so every chain
-        # child is the GI bounce — one trace per segment, like the
-        # specular chain.  Direction/origin values here are numerically
-        # identical to the step's differentiable recompute (same formulas
-        # on the same winner facts).
+        # diffuse-only PT scenes reuse it wholesale; pt_spec scenes
+        # (round 5) merge it lane-wise with a fresh trace for lanes whose
+        # replayed coin chose the specular child instead.  Direction/origin
+        # values here are numerically identical to the step's
+        # differentiable recompute (same formulas on the same winner
+        # facts).
         if bc.pt and k < bc_depth(bc) - 1:
+            chain_spec = st["chain"] if bc.pt_spec else FALSE
             r1 = ugi_ref[2 * k, :, :]
             r2 = ugi_ref[2 * k + 1, :, :]
             st["gi_r12"] = (r1, r2)
@@ -1204,9 +1265,35 @@ def _kernel(*refs, bc: BwdConsts):
                 st[f"skip_m{i}"] = g_hit & skip
             # child pushed only if the GI ray hit something
             # (integrator.py:289: gi_alive & gi_hit.valid)
-            st["chain"] = gi_alive & g_hit
+            gi_would = gi_alive & g_hit
+            if bc.pt_spec:
+                # stochastic single-child (integrator stochastic_spec_gi):
+                # where a GI child AND a specular child both exist, the
+                # replayed coin picks one (weight doubles in the step)
+                sg_off = 2 * bc_depth(bc) + (bc_depth(bc) if bc.pt_rr
+                                             else 0)
+                choose_gi = ugi_ref[sg_off + k, :, :] < 0.5
+                both = gi_would & chain_spec
+                cont_gi = gi_would & (~chain_spec | choose_gi)
+                st["both"] = both
+                st["cont_gi"] = cont_gi
+                st["chain"] = cont_gi | (chain_spec
+                                         & (~gi_would | ~choose_gi))
+                cont_gi_prev = cont_gi
+                # GI children keep the parent's medium with no Beer
+                # constant (integrator.py: gi push passes medium, zeros)
+                next_medium = jnp.where(cont_gi, medium, next_medium)
+                next_absorb = tuple(
+                    jnp.where(cont_gi, 0.0, next_absorb[c])
+                    for c in range(3))
+            else:
+                st["chain"] = gi_would
         elif bc.pt:
             st["chain"] = FALSE
+            if bc.pt_spec:
+                st["cont_gi"] = FALSE
+                st["both"] = FALSE
+                cont_gi_prev = FALSE
 
         # per-lane selected material params (traced leaves for the step)
         kd3 = tuple(matsel(matf, 3 + c) for c in range(3))
@@ -1566,7 +1653,8 @@ def make_diff_render(pack, opts, interpret: bool = False):
         uab, uml, ud, ugi = wavefront_rng(key, o.shape[0], D, Pa,
                                           st.has_dielectric, ml_counts,
                                           need_gi=bc_f.pt,
-                                          need_rr=bc_f.pt_rr)
+                                          need_rr=bc_f.pt_rr,
+                                          need_sg=bc_f.pt_spec)
         return render(mat_tab, pl_tab, dl_tab, sl_tab, al_tab, ml_tab,
                       bg_tab, tri_w, o, d, uab, uml, ud, ugi)
 

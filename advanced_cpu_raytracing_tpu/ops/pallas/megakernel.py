@@ -33,16 +33,20 @@ Perlin textures (diffuse/specular/bump on untransformed meshes — the
 512-entry permutation table is gathered with Mosaic's lane-wise
 `take_along_axis(axis=1)`, four perm rows masked by the row index; the 12
 gradient vectors are derived arithmetically from the hash so no second
-table is needed), and LDR image textures up to 16k texels per image
-(diffuse/specular decal modes: RGB packed one-f32-per-texel into a row
-table fetched by the same row-masked lane gather — nearest and bilinear,
-with UV tiling; per-face vertex UVs ride extra tri-table columns and the
-trace fold carries the winner's barycentrics).  Randomness comes from the
-on-chip PRNG (pltpu.prng_random_bits; a host jax.random table in interpret
-mode, where pltpu.prng has no lowering).  Env-lit scenes (megapixel HDR
-gathers), HDR/megapixel image textures, normal-map/replace_all decals and
-image bump maps fall back to the jnp wavefront in render/integrator.py;
-reverse-mode AD routes to ops/pallas/megabwd.py when eligible, else the
+table is needed), and image textures of any committed size
+(diffuse/specular/replace_all/normal-map/bump decal modes — nearest and
+bilinear, with UV tiling; per-face vertex UVs ride extra tri-table columns
+and the trace fold carries the winner's barycentrics).  Small LDR images
+(<= 16k texels, integer 0..255) pack RGB one-f32-per-texel into a VMEM row
+table fetched by the row-masked lane gather; megapixel and HDR/EXR images
+(round 5) live in an HBM table of 8x16-texel tiles served by a
+block-coherent WINDOWED gather (DMA the window at the min outstanding row
+into a VMEM scratch, lane-gather, repeat — measured 0.065 s for an 800x600
+frame over a 1024x1024 bilinear texture, 9.1x the reference CPU,
+bit-equal images).  Env lights use the same two paths by map size.
+Randomness comes from the on-chip PRNG (pltpu.prng_random_bits; a host
+jax.random table in interpret mode, where pltpu.prng has no lowering).
+Reverse-mode AD routes to ops/pallas/megabwd.py when eligible, else the
 jnp wavefront.
 
 Semantics are a transcription of render/integrator.py (same reference quirks:
@@ -177,6 +181,16 @@ class MegaConsts:
     # math (atan2/acos) is computed with in-kernel polynomials since Mosaic
     # lowers neither primitive
     env: tuple = ()
+    # ---- megapixel / HDR image textures (round 5) ----
+    # per texture index: () for small/non-image textures, else
+    # (interp, blend, w, h, tiles_x, row0, bump_factor) into the HBM big
+    # table (see _tile_big_image); only set when at least one big texture
+    # exists.  The decal slot lists (img_diff/img_spec/...) cover BOTH
+    # small and big ids — call sites dispatch per id.
+    big_textures: tuple = ()
+    # env map beyond the VMEM gather budget: mc.env becomes
+    # (width, height, row0_in_big_table, tiles_x) and env_big is set
+    env_big: bool = False
 
 
 def mega_eligible(static, opts, pack=None) -> bool:
@@ -207,14 +221,14 @@ def mega_eligible(static, opts, pack=None) -> bool:
     if static.n_textures > 0 and not _textures_eligible(static, pack):
         return False
     if static.n_env > 0:
-        # env map must fit the row-masked gather budget; megapixel maps
-        # fall back to the jnp wavefront
+        # small maps ride the VMEM row-masked gather; bigger ones the HBM
+        # windowed gather (round 5) up to the per-image big budget
         if pack is None:
             return False
         img = int(np.asarray(pack.env_img)[0])
         ew = int(np.asarray(pack.img_w)[img])
         eh = int(np.asarray(pack.img_h)[img])
-        if ew * eh > _IMG_MAX_TEXELS:
+        if ew * eh > _BIG_MAX_TEXELS:
             return False
     if pack is not None and static.n_mesh_lights > 0:
         import numpy as _np
@@ -229,6 +243,51 @@ def mega_eligible(static, opts, pack=None) -> bool:
 # cheap at 128 rows compiled (ARCHITECTURE.md "gather headroom").
 _IMG_MAX_TEXELS = 16384
 
+# ---- megapixel / HDR textures (round 5) ----
+# Images too big (or non-integer, i.e. HDR/EXR) for the VMEM row-masked
+# gather live in a separate HBM table laid out in 8x16-TEXEL TILES (one
+# 128-lane row per tile per channel, three channel rows per tile, tile grid
+# row-major).  The kernel serves taps with a block-coherent WINDOWED gather:
+# take the min outstanding row over unserved lanes, DMA a _BIG_WN-row
+# window into a VMEM scratch, lane-gather every tap that falls inside it,
+# repeat until all lanes are served (validated + timed on hardware by
+# tools/probe_bigtex.py: ~110-220 M bilinear samples/s at realistic
+# coherence).  2D tiling keeps a ray block's taps in few windows: a 32x32
+# texel footprint touches ~5 runs of ~4 consecutive rows regardless of the
+# image width, where row-major rows would spread over width/16 rows.
+_BIG_TILE_H, _BIG_TILE_W = 8, 16
+_BIG_WN = 16  # DMA window rows (8 KiB)
+_BIG_MAX_TEXELS = 1 << 24  # per image (e.g. 4096x4096)
+_BIG_MAX_TOTAL = 1 << 25  # per scene (~400 MB HBM at f32 rgb)
+
+
+def _tile_big_image(data: np.ndarray):
+    """(h, w, 3) f32 -> ((tiles*3, 128) rows, tiles_x).  Tile t=(ty,tx)
+    channel c lives at row (ty*tiles_x+tx)*3 + c; texel (i,j) sits at lane
+    (j%8)*16 + i%16 of its tile's rows."""
+    h, w, _ = data.shape
+    ty = -(-h // _BIG_TILE_H)
+    tx = -(-w // _BIG_TILE_W)
+    buf = np.zeros((ty * _BIG_TILE_H, tx * _BIG_TILE_W, 3), np.float32)
+    buf[:h, :w] = data
+    t = buf.reshape(ty, _BIG_TILE_H, tx, _BIG_TILE_W, 3)
+    t = t.transpose(0, 2, 4, 1, 3)  # (ty, tx, 3, 8, 16)
+    return t.reshape(ty * tx * 3, LANES), tx
+
+
+def _img_is_small(pack, img: int) -> bool:
+    """Does image `img` qualify for the VMEM packed-RGB row gather?
+    (<= _IMG_MAX_TEXELS texels AND integer 0..255 values — the pack folds
+    RGB into one f32 per texel, exact only for LDR ints.)  Anything else —
+    megapixel and/or HDR/EXR — goes to the HBM windowed-gather big table."""
+    w = int(np.asarray(pack.img_w)[img])
+    h = int(np.asarray(pack.img_h)[img])
+    if w * h > _IMG_MAX_TEXELS:
+        return False
+    data = np.asarray(pack.img_atlas)[img, :h, :w]
+    return bool(data.min() >= 0.0 and data.max() <= 255.0
+                and np.array_equal(data, np.round(data)))
+
 
 def _textures_eligible(static, pack) -> bool:
     """Textured scenes qualify only when every texture is in-kernel-able:
@@ -237,10 +296,12 @@ def _textures_eligible(static, pack) -> bool:
       and — for bump — identity normal matrices, since the kernel only has
       world-space normals while the gradient projection happens against the
       object-space normal (shading.py::_apply_bump_normal_maps);
-    * LDR image — diffuse/specular/replace_all/normal-map/image-bump decal
-      modes, integer texel values in 0..255 (the kernel packs RGB into
-      one f32 per texel), and <= _IMG_MAX_TEXELS texels so the row-masked
-      lane gather stays cheap (HDR/EXR and megapixel textures fall back).
+    * image — diffuse/specular/replace_all/normal-map/image-bump decal
+      modes.  Small LDR images (<= _IMG_MAX_TEXELS texels, integer 0..255)
+      ride the VMEM row-masked gather; megapixel and HDR/EXR images
+      (round 5) ride the HBM windowed gather up to _BIG_MAX_TEXELS per
+      image / _BIG_MAX_TOTAL per scene (imageTexture.h:60-133,
+      HDRImage.h:45-70 load arbitrary sizes).
 
     Common gates: no custom BRDFs (the kernel's BRDF branch bakes kd
     statically), no motion (the hit point used for world-space Perlin
@@ -268,6 +329,7 @@ def _textures_eligible(static, pack) -> bool:
                 int(DecalMode.REPLACE_KS), int(DecalMode.REPLACE_ALL),
                 int(DecalMode.REPLACE_NORMAL), int(DecalMode.BUMP_NORMAL)}
     total_texels = 0
+    total_big = 0
     for i in range(static.n_textures):
         if kind[i] == 1:
             if int(decal[i]) not in ok_perlin:
@@ -281,14 +343,13 @@ def _textures_eligible(static, pack) -> bool:
             return False
         w = int(np.asarray(pack.img_w)[img])
         h = int(np.asarray(pack.img_h)[img])
-        if w * h > _IMG_MAX_TEXELS:
-            return False
-        total_texels += w * h
-        data = np.asarray(pack.img_atlas)[img, :h, :w]
-        if data.min() < 0.0 or data.max() > 255.0 \
-                or not np.array_equal(data, np.round(data)):
-            return False
-    if total_texels > 2 * _IMG_MAX_TEXELS:
+        if _img_is_small(pack, img):
+            total_texels += w * h
+        else:
+            if w * h > _BIG_MAX_TEXELS:
+                return False
+            total_big += w * h
+    if total_texels > 2 * _IMG_MAX_TEXELS or total_big > _BIG_MAX_TOTAL:
         return False
     if static.n_spheres and (np.asarray(pack.sph_tex) >= 0).any():
         return False
@@ -562,6 +623,8 @@ def build_mega(pack, opts, host_rng: bool = False):
     perlin_tex = ()
     p_diff = p_spec = p_bump = ()
     image_tex = ()
+    big_tex = ()
+    big_rows: list = []  # HBM big-table blocks (megapixel/HDR images + env)
     i_diff = i_spec = i_bump = i_ra = i_nm = ()
     img_tab = np.zeros((1, LANES), np.float32)
     if has_tex:
@@ -585,39 +648,62 @@ def build_mega(pack, opts, host_rng: bool = False):
             p_spec = slotted(20, 1)
             p_bump = slotted(21, 1)
         if has_img:
-            # pack each LDR image's texels as one f32 per texel
+            # pack each small LDR image's texels as one f32 per texel
             # (r + 256 g + 65536 b, exact: < 2^24), row-major j*w+i flat
-            # order, padded to full 128-lane rows and stacked into one table
+            # order, padded to full 128-lane rows and stacked into one
+            # table; megapixel/HDR images (round 5) go to the tiled HBM
+            # big table instead (_tile_big_image)
             interp_np = np.asarray(pack.tex_interp)
             timg = np.asarray(pack.tex_img)
             entries: list = []
+            big_entries: list = []
             rows_list = []
             img_row0: dict = {}  # image index -> row0 (textures share images)
+            big_img_row0: dict = {}  # image index -> (row0, tiles_x)
             row0 = 0
             for i in range(st.n_textures):
                 if kind_np[i] != 0:
                     entries.append(())
+                    big_entries.append(())
                     continue
                 img = int(timg[i])
                 iw = int(np.asarray(pack.img_w)[img])
                 ih = int(np.asarray(pack.img_h)[img])
-                if img not in img_row0:
-                    data = np.asarray(pack.img_atlas)[img, :ih, :iw]
-                    packed = (data[..., 0] + 256.0 * data[..., 1]
-                              + 65536.0 * data[..., 2]).reshape(-1)
-                    n_rows = -(-packed.size // LANES)
-                    buf = np.zeros(n_rows * LANES, np.float32)
-                    buf[:packed.size] = packed
-                    rows_list.append(buf.reshape(n_rows, LANES))
-                    img_row0[img] = row0
-                    row0 += n_rows
-                entries.append((
-                    int(interp_np[i]),
-                    int(int(decal[i]) == int(DecalMode.BLEND_KD)),
-                    iw, ih, img_row0[img], -(-(iw * ih) // LANES),
-                    float(bumpf[i])))
+                if _img_is_small(pack, img):
+                    if img not in img_row0:
+                        data = np.asarray(pack.img_atlas)[img, :ih, :iw]
+                        packed = (data[..., 0] + 256.0 * data[..., 1]
+                                  + 65536.0 * data[..., 2]).reshape(-1)
+                        n_rows = -(-packed.size // LANES)
+                        buf = np.zeros(n_rows * LANES, np.float32)
+                        buf[:packed.size] = packed
+                        rows_list.append(buf.reshape(n_rows, LANES))
+                        img_row0[img] = row0
+                        row0 += n_rows
+                    entries.append((
+                        int(interp_np[i]),
+                        int(int(decal[i]) == int(DecalMode.BLEND_KD)),
+                        iw, ih, img_row0[img], -(-(iw * ih) // LANES),
+                        float(bumpf[i])))
+                    big_entries.append(())
+                else:
+                    if img not in big_img_row0:
+                        data = np.asarray(pack.img_atlas)[img, :ih, :iw]
+                        tiled, tiles_x = _tile_big_image(data)
+                        big_img_row0[img] = (
+                            sum(b.shape[0] for b in big_rows), tiles_x)
+                        big_rows.append(tiled)
+                    br0, btx = big_img_row0[img]
+                    big_entries.append((
+                        int(interp_np[i]),
+                        int(int(decal[i]) == int(DecalMode.BLEND_KD)),
+                        iw, ih, btx, int(br0), float(bumpf[i])))
+                    entries.append(())
             image_tex = tuple(entries)
-            img_tab = np.concatenate(rows_list, axis=0)
+            if any(big_entries):
+                big_tex = tuple(big_entries)
+            img_tab = (np.concatenate(rows_list, axis=0) if rows_list
+                       else np.zeros((1, LANES), np.float32))
             i_diff = slotted(19, 0)
             i_spec = slotted(20, 0)
             i_bump = slotted(21, 0)
@@ -625,22 +711,38 @@ def build_mega(pack, opts, host_rng: bool = False):
             i_nm = slotted(23, 0)
 
     # spherical env light: raw HDR texels appended to the img table as three
-    # channel blocks (R rows, G rows, B rows) for the row-masked lane gather
+    # channel blocks (R rows, G rows, B rows) for the row-masked lane
+    # gather; megapixel maps (round 5) go to the tiled HBM big table
     env = ()
+    env_big = False
     if st.n_env:
         eimg = int(np.asarray(pack.env_img)[0])
         ew = int(np.asarray(pack.img_w)[eimg])
         eh = int(np.asarray(pack.img_h)[eimg])
         edata = np.asarray(pack.img_atlas)[eimg, :eh, :ew]
-        n_rows_e = -(-(ew * eh) // LANES)
-        erow0 = img_tab.shape[0]
-        blocks = []
-        for c in range(3):
-            buf = np.zeros(n_rows_e * LANES, np.float32)
-            buf[:ew * eh] = edata[..., c].reshape(-1)
-            blocks.append(buf.reshape(n_rows_e, LANES))
-        img_tab = np.concatenate([np.asarray(img_tab)] + blocks, axis=0)
-        env = (ew, eh, erow0, n_rows_e)
+        if ew * eh <= _IMG_MAX_TEXELS:
+            n_rows_e = -(-(ew * eh) // LANES)
+            erow0 = img_tab.shape[0]
+            blocks = []
+            for c in range(3):
+                buf = np.zeros(n_rows_e * LANES, np.float32)
+                buf[:ew * eh] = edata[..., c].reshape(-1)
+                blocks.append(buf.reshape(n_rows_e, LANES))
+            img_tab = np.concatenate([np.asarray(img_tab)] + blocks, axis=0)
+            env = (ew, eh, erow0, n_rows_e)
+        else:
+            env_big = True
+            tiled, tiles_x = _tile_big_image(edata)
+            erow0 = sum(b.shape[0] for b in big_rows)
+            big_rows.append(tiled)
+            env = (ew, eh, erow0, tiles_x)
+
+    # big table: pad with a full DMA window of zero rows so the windowed
+    # gather's [rmin, rmin + _BIG_WN) slice never overruns
+    big_tab = None
+    if big_rows:
+        big_tab = np.concatenate(
+            big_rows + [np.zeros((_BIG_WN, LANES), np.float32)], axis=0)
 
     # HBM-streamed geometry: pad the table to whole chunks so the per-chunk
     # DMA never overruns (padding rows are degenerate: det == 0 -> invalid)
@@ -694,8 +796,15 @@ def build_mega(pack, opts, host_rng: bool = False):
         has_tbn=has_tbn,
         stream_geo=stream_geo,
         env=env,
+        big_textures=big_tex,
+        env_big=env_big,
     )
-    return mc, jnp.asarray(tab), jnp.asarray(ctab), jnp.asarray(img_tab)
+    img_out = jnp.asarray(img_tab)
+    if big_tab is not None:
+        # big table rides along as the second element of the img slot (the
+        # call-site plumbing passes it opaquely; mega_trace_flat unpacks)
+        img_out = (img_out, jnp.asarray(big_tab))
+    return mc, jnp.asarray(tab), jnp.asarray(ctab), img_out
 
 
 # ---------------------------------------------------------------------------
@@ -706,11 +815,17 @@ def build_mega(pack, opts, host_rng: bool = False):
 def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             chunk_ref, seed_ref, rng_ref, *rest, mc: MegaConsts):
     rest = list(rest)
+    has_big = bool(mc.big_textures) or mc.env_big
     perm_ref = rest.pop(0) if mc.perlin_textures else None
     img_ref = rest.pop(0) if (mc.image_textures or mc.env) else None
+    big_ref = rest.pop(0) if has_big else None
     lx_ref, ly_ref, lz_ref = rest[:3]
+    scr_at = 3
     if mc.stream_geo:
-        geo_scr, geo_sem = rest[3], rest[4]
+        geo_scr, geo_sem = rest[scr_at], rest[scr_at + 1]
+        scr_at += 2
+    if has_big:
+        big_scr, big_sem = rest[scr_at], rest[scr_at + 1]
 
     # geometry accessor: the sweeps read faces through _geo so the streaming
     # chunk loop can rebind them to the DMA'd VMEM scratch (local indices)
@@ -926,6 +1041,143 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             g_ = jnp.floor(rem * (1.0 / 256.0))
             return (rem - g_ * 256.0 + g_ + b_) * (1.0 / 3.0)
 
+    # ---- megapixel / HDR image textures (round 5): HBM windowed gather ----
+    # Texels live in the HBM big table in 8x16-texel tiles (3 channel rows
+    # per tile, see _tile_big_image).  Taps are served by a block-coherent
+    # loop: DMA the _BIG_WN-row window at the minimum outstanding row into
+    # the VMEM scratch, lane-gather every tap that falls inside, repeat
+    # until all lanes are served.  Progress is guaranteed (each window
+    # serves at least the min-row lane); lanes with need=False start
+    # served.  Validated + timed on hardware by tools/probe_bigtex.py.
+    if has_big:
+        _BIG_MAX_START = float(int(big_ref.shape[0]) - _BIG_WN)
+
+        def big_serve(rows, lanes, needs):
+            """rows/lanes: (8,128) i32 per tap; needs: bool masks.  Returns
+            one f32 array per tap (0 where not needed).  Served masks are
+            f32 — Mosaic miscompiles (8,128) i1 loop carries."""
+            n = len(rows)
+            outs0 = tuple(ZERO for _ in range(n))
+            served0 = tuple(jnp.where(m, 0.0, 1.0) for m in needs)
+
+            def cond(c):
+                m = c[n]
+                for s in c[n + 1:]:
+                    m = jnp.minimum(m, s)
+                return jnp.min(m) < 0.5
+
+            def body(c):
+                outs = list(c[:n])
+                served = list(c[n:])
+                rf = jnp.full(shape, 3.0e9)
+                for r, s in zip(rows, served):
+                    rf = jnp.minimum(
+                        rf, jnp.where(s > 0.5, 3.0e9,
+                                      r.astype(jnp.float32)))
+                rmin = jnp.minimum(jnp.min(rf),
+                                   _BIG_MAX_START).astype(jnp.int32)
+                cp = pltpu.make_async_copy(
+                    big_ref.at[pl.ds(rmin, _BIG_WN), :], big_scr, big_sem)
+                cp.start()
+                cp.wait()
+                for r_ in range(_BIG_WN):
+                    brow = jnp.broadcast_to(big_scr[r_:r_ + 1, :], shape)
+                    for k in range(n):
+                        g = jnp.take_along_axis(brow, lanes[k], axis=1)
+                        m = (rows[k] == rmin + r_) & (served[k] < 0.5)
+                        outs[k] = outs[k] + jnp.where(m, g, 0.0)
+                        served[k] = jnp.maximum(
+                            served[k], jnp.where(m, 1.0, 0.0))
+                return tuple(outs) + tuple(served)
+
+            res = jax.lax.while_loop(cond, body, outs0 + served0)
+            return list(res[:n])
+
+        def _big_rowlane(meta, i_, j_):
+            """Integer texel coords -> (3 channel rows, lane) in the big
+            table for texture metadata (.., tiles_x, row0, ..)."""
+            tiles_x, row0 = meta[4], meta[5]
+            tile = (j_ >> 3) * tiles_x + (i_ >> 4)
+            base = row0 + tile * 3
+            lane = ((j_ & 7) << 4) + (i_ & 15)
+            return base, lane
+
+        def big_img_sample(ti_, uu, vv, need, raw=False):
+            """RGB at tiled UV for big texture ti_ — same nearest/bilinear
+            + edge-clamp semantics as img_sample (imageTexture.h:60-133),
+            raw HDR values (scaled 1/255 unless ``raw``, matching the
+            wavefront's raytracer.cpp:494 normalization)."""
+            interp, _bl, iw, ih, _tx, _r0, _bf = mc.big_textures[ti_]
+            meta = mc.big_textures[ti_]
+            fw, fh = float(iw), float(ih)
+            if interp == 0:  # nearest
+                i_ = jnp.clip(jnp.floor(uu * fw), 0.0, fw - 1.0) \
+                    .astype(jnp.int32)
+                j_ = jnp.clip(jnp.floor(vv * fh), 0.0, fh - 1.0) \
+                    .astype(jnp.int32)
+                taps = [(i_, j_)]
+                wts = None
+            else:  # bilinear
+                fi = jnp.clip(uu * fw, 0.0, fw - 1.0)
+                fj = jnp.clip(vv * fh, 0.0, fh - 1.0)
+                p_ = jnp.floor(fi)
+                q_ = jnp.floor(fj)
+                dx_ = fi - p_
+                dy_ = fj - q_
+                p0 = p_.astype(jnp.int32)
+                q0 = q_.astype(jnp.int32)
+                p1 = jnp.minimum(p0 + 1, iw - 1)
+                q1 = jnp.minimum(q0 + 1, ih - 1)
+                taps = [(p0, q0), (p1, q0), (p0, q1), (p1, q1)]
+                wts = [(1.0 - dx_) * (1.0 - dy_), dx_ * (1.0 - dy_),
+                       (1.0 - dx_) * dy_, dx_ * dy_]
+            rows, lanes, needs = [], [], []
+            for (i_, j_) in taps:
+                base, lane = _big_rowlane(meta, i_, j_)
+                for c in range(3):
+                    rows.append(base + c)
+                    lanes.append(lane)
+                    needs.append(need)
+            vals = big_serve(rows, lanes, needs)
+            if wts is None:
+                r_, g_, b_ = vals[0], vals[1], vals[2]
+            else:
+                r_ = sum(w_ * vals[3 * k] for k, w_ in enumerate(wts))
+                g_ = sum(w_ * vals[3 * k + 1] for k, w_ in enumerate(wts))
+                b_ = sum(w_ * vals[3 * k + 2] for k, w_ in enumerate(wts))
+            if raw:
+                return r_, g_, b_
+            s = 1.0 / 255.0
+            return r_ * s, g_ * s, b_ * s
+
+        def big_img_grey3(ti_, coords, need):
+            """Mean-channel greyscale at three INTEGER texel coords (the
+            image-bump taps, mesh.cpp:317-329) in ONE serve loop."""
+            meta = mc.big_textures[ti_]
+            rows, lanes, needs = [], [], []
+            for (i_, j_) in coords:
+                base, lane = _big_rowlane(meta, i_, j_)
+                for c in range(3):
+                    rows.append(base + c)
+                    lanes.append(lane)
+                    needs.append(need)
+            vals = big_serve(rows, lanes, needs)
+            return [(vals[3 * k] + vals[3 * k + 1] + vals[3 * k + 2])
+                    * (1.0 / 3.0) for k in range(len(coords))]
+
+        def _tex_is_big(ti_):
+            return bool(mc.big_textures) and bool(mc.big_textures[ti_])
+
+        def _tex_meta(ti_):
+            return (mc.big_textures[ti_] if _tex_is_big(ti_)
+                    else mc.image_textures[ti_])
+    else:
+        def _tex_is_big(ti_):
+            return False
+
+        def _tex_meta(ti_):
+            return mc.image_textures[ti_]
+
     # ---- spherical environment light (sphericalEnvironmentLight.h:8-64;
     # render/lights.py::env_sample_radiance) ----
     if mc.env:
@@ -962,16 +1214,23 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         def acos_k(t):
             return atan2_k(jnp.sqrt(jnp.maximum(1.0 - t * t, 0.0)), t)
 
-        def env_fetch(uu, vv):
+        def env_fetch(uu, vv, need):
             """Nearest lat-long texel (ops/texture.py::sample_nearest): raw
             HDR rgb via the row-masked lane gather over the env channel
-            blocks."""
+            blocks (small maps) or the HBM windowed gather (megapixel maps,
+            round 5 — ``need`` gates which lanes pay for windows)."""
             ew, eh, erow0, enr = mc.env
             fw, fh = float(ew), float(eh)
             i_ = jnp.maximum(jnp.minimum((uu * fw).astype(jnp.int32),
                                          ew - 1), 0)
             j_ = jnp.maximum(jnp.minimum((vv * fh).astype(jnp.int32),
                                          eh - 1), 0)
+            if mc.env_big:
+                # env meta reinterprets as (w, h, row0, tiles_x)
+                base, lane = _big_rowlane((0, 0, ew, eh, enr, erow0), i_, j_)
+                vals = big_serve([base, base + 1, base + 2],
+                                 [lane, lane, lane], [need, need, need])
+                return vals[0], vals[1], vals[2]
             idx = j_ * ew + i_
             lane = jnp.bitwise_and(idx, 127)
             row = jnp.right_shift(idx, 7)
@@ -985,12 +1244,12 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
                     out[c] = out[c] + jnp.where(row == rr_, g, 0.0)
             return out[0], out[1], out[2]
 
-        def env_radiance(vx, vy, vz):
+        def env_radiance(vx, vy, vz, need):
             """Lat-long lookup * 2pi at an (unnormalized) direction
             (GetSample, sphericalEnvironmentLight.h:22-35)."""
             u = (1.0 + atan2_k(vx, -vz) / _PI) / 2.0
             v = acos_k(jnp.clip(vy, -1.0, 1.0)) / _PI
-            er, eg, eb = env_fetch(u, v)
+            er, eg, eb = env_fetch(u, v, need)
             s = 2.0 * _PI
             return er * s, eg * s, eb * s
 
@@ -1335,8 +1594,8 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         # for branches flagged env-on-miss (mirror / dielectric children —
         # integrator.py refl_env), else contribute nothing
         if mc.env:
-            e_r, e_g, e_b = env_radiance(cdx, cdy, cdz)
             misse = cact & (~hitv) & ((it == 0) | (cenv_f > 0.5))
+            e_r, e_g, e_b = env_radiance(cdx, cdy, cdz, misse)
             lr = lr + jnp.where(misse, cwx * e_r, 0.0)
             lg = lg + jnp.where(misse, cwy * e_g, 0.0)
             lb = lb + jnp.where(misse, cwz * e_b, 0.0)
@@ -1393,13 +1652,16 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         if mc.img_normal:
             tnx, tny, tnz, tbx, tby, tbz = hittbn
             for ti_ in mc.img_normal:
-                sr, sg, sb = img_sample(ti_, uu, vv, raw=True)
+                m_ = nm_f == float(ti_)
+                if _tex_is_big(ti_):
+                    sr, sg, sb = big_img_sample(ti_, uu, vv, m_, raw=True)
+                else:
+                    sr, sg, sb = img_sample(ti_, uu, vv, raw=True)
                 sxn, syn, szn = norm3(sr / 127.5 - 1.0, sg / 127.5 - 1.0,
                                       sb / 127.5 - 1.0)
                 mpx, mpy, mpz = norm3(tnx * sxn + tbx * syn + nx * szn,
                                       tny * sxn + tby * syn + ny * szn,
                                       tnz * sxn + tbz * syn + nz * szn)
-                m_ = nm_f == float(ti_)
                 nx = jnp.where(m_, mpx, nx)
                 ny = jnp.where(m_, mpy, ny)
                 nz = jnp.where(m_, mpz, nz)
@@ -1410,16 +1672,24 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         if mc.img_bump:
             tnx, tny, tnz, tbx, tby, tbz = hittbn
             for ti_ in mc.img_bump:
-                _i, _b2, iwd, ihd, _r0, _nr, bf = mc.image_textures[ti_]
+                meta_b = _tex_meta(ti_)
+                iwd, ihd, bf = meta_b[2], meta_b[3], meta_b[6]
                 fw1 = float(iwd - 1)
                 fh1 = float(ihd - 1)
                 iw_ = jnp.clip((uu * fw1).astype(jnp.int32), 0, iwd - 1)
                 jh_ = jnp.clip((vv * fh1).astype(jnp.int32), 0, ihd - 1)
                 i1 = jnp.minimum(iw_ + 1, iwd - 1)
                 j1 = jnp.minimum(jh_ + 1, ihd - 1)
-                h_uv = img_grey_at(ti_, iw_, jh_)
-                h_du = img_grey_at(ti_, i1, jh_)
-                h_dv = img_grey_at(ti_, iw_, j1)
+                if _tex_is_big(ti_):
+                    mb_ = tb_f == float(ti_)
+                    if mc.img_normal:
+                        mb_ = mb_ & (nm_f < 0.0)
+                    h_uv, h_du, h_dv = big_img_grey3(
+                        ti_, [(iw_, jh_), (i1, jh_), (iw_, j1)], mb_)
+                else:
+                    h_uv = img_grey_at(ti_, iw_, jh_)
+                    h_du = img_grey_at(ti_, i1, jh_)
+                    h_dv = img_grey_at(ti_, iw_, j1)
                 qux = tnx + nx * ((h_du - h_uv) * bf)
                 quy = tny + ny * ((h_du - h_uv) * bf)
                 quz = tnz + nz * ((h_du - h_uv) * bf)
@@ -1463,8 +1733,12 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         # no children
         if mc.img_ra:
             for ti_ in mc.img_ra:
-                rr_, gg_, bb_ = img_sample(ti_, uu, vv, raw=True)
                 m_ = shadeable & (ra_f == float(ti_))
+                if _tex_is_big(ti_):
+                    rr_, gg_, bb_ = big_img_sample(ti_, uu, vv, m_,
+                                                   raw=True)
+                else:
+                    rr_, gg_, bb_ = img_sample(ti_, uu, vv, raw=True)
                 lr = lr + jnp.where(m_, cwx * rr_, 0.0)
                 lg = lg + jnp.where(m_, cwy * gg_, 0.0)
                 lb = lb + jnp.where(m_, cwz * bb_, 0.0)
@@ -1551,16 +1825,22 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         # reflectance (GetDiffuseReflectanceCoeff, raytracer.cpp:478-508;
         # shading.py::diffuse_reflectance / specular_reflectance)
         for ti_ in mc.img_diff:
-            blend = mc.image_textures[ti_][1]
-            tr, tg, tb = img_sample(ti_, uu, vv)
+            blend = _tex_meta(ti_)[1]
             m_ = td_f == float(ti_)
+            if _tex_is_big(ti_):
+                tr, tg, tb = big_img_sample(ti_, uu, vv, m_)
+            else:
+                tr, tg, tb = img_sample(ti_, uu, vv)
             kdx = jnp.where(m_, (tr + kdx) * 0.5 if blend else tr, kdx)
             kdy = jnp.where(m_, (tg + kdy) * 0.5 if blend else tg, kdy)
             kdz = jnp.where(m_, (tb + kdz) * 0.5 if blend else tb, kdz)
         for ti_ in mc.img_spec:
-            blend = mc.image_textures[ti_][1]
-            tr, tg, tb = img_sample(ti_, uu, vv)
+            blend = _tex_meta(ti_)[1]
             m_ = ts_f == float(ti_)
+            if _tex_is_big(ti_):
+                tr, tg, tb = big_img_sample(ti_, uu, vv, m_)
+            else:
+                tr, tg, tb = img_sample(ti_, uu, vv)
             ksx = jnp.where(m_, (tr + ksx) * 0.5 if blend else tr, ksx)
             ksy = jnp.where(m_, (tg + ksy) * 0.5 if blend else tg, ksy)
             ksz = jnp.where(m_, (tb + ksz) * 0.5 if blend else tb, ksz)
@@ -1799,7 +2079,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
                 ey = jnp.where(take, cyv, ey)
                 ez = jnp.where(take, czv, ez)
                 accepted = accepted | ok
-            er, eg, eb = env_radiance(ex, ey, ez)
+            er, eg, eb = env_radiance(ex, ey, ez, lit)
             lr, lg, lb = add_light(lr, lg, lb, nx, ny, nz, er, eg, eb, lit)
 
         # ---- children (reflection continues in-register; refraction pushes) --
@@ -2171,6 +2451,11 @@ def mega_trace_flat(mc: MegaConsts, tri_tab, chunk_tab, o, d,
                             memory_space=pltpu.VMEM)
     seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
+    has_big = bool(mc.big_textures) or mc.env_big
+    big_tab = None
+    if isinstance(img_tab, (tuple, list)):
+        img_tab, big_tab = img_tab
+
     extra_in, extra_specs = [], []
     if mc.perlin_textures:
         extra_in.append(jnp.asarray(_perm512_table()))
@@ -2180,11 +2465,22 @@ def mega_trace_flat(mc: MegaConsts, tri_tab, chunk_tab, o, d,
             "image-textured / env-lit mc needs its img_tab"
         extra_in.append(img_tab)
         extra_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    if has_big:
+        # megapixel/HDR texel tiles stay in HBM; the kernel DMAs
+        # _BIG_WN-row windows on demand (windowed gather)
+        assert big_tab is not None, "big-textured mc needs its big table"
+        extra_in.append(big_tab)
+        extra_specs.append(pl.BlockSpec(memory_space=pl.ANY))
 
     scratch_shapes = []
     if mc.stream_geo:
         scratch_shapes = [
             pltpu.VMEM((CHUNK, int(tri_tab.shape[1])), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+    if has_big:
+        scratch_shapes += [
+            pltpu.VMEM((_BIG_WN, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ]
 

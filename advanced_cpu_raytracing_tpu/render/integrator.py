@@ -80,6 +80,14 @@ class RenderOptions:
     # O(depth) instead of O(2^depth).  The MC default for path tracing;
     # Whitted golden renders keep the deterministic split.
     stochastic_dielectric: bool = False
+    # PT at a specular hit spawns BOTH a GI child and a specular child
+    # (raytracer.cpp:135-191 + 261-472 together).  This mode samples ONE:
+    # where both exist, a replayed fair coin picks GI or specular and the
+    # chosen child's weight doubles — unbiased, and every node pushes at
+    # most one child, so the population stays a linear chain (the estimator
+    # the fused fwd+bwd kernel replays; requires stochastic_dielectric when
+    # dielectrics are present).  Round 5.
+    stochastic_spec_gi: bool = False
 
     def auto_iters(self, branching: int = 2) -> int:
         """Upper bound on processed tree nodes per lane.
@@ -290,10 +298,15 @@ def _process_hit(pack: ScenePack, opts: RenderOptions, o, d, w_in, absorb,
 
         gi_w = w * shade_weight(pack, surf, gi_dir, w_o, mr) * (2.0 * PI) \
             * rr_scale[:, None]
-        stack = _push(
-            stack, gi_alive & gi_hit.valid, gi_o, gi_dir, gi_w,
-            jnp.zeros((r, 3)), medium, depth - 1, jnp.zeros(r, bool),
-        )
+        if opts.stochastic_spec_gi:
+            # deferred: pushed after the specular children are built so the
+            # replayed coin can pick one of the two (see below)
+            assert opts.stochastic_dielectric or not st.has_dielectric
+        else:
+            stack = _push(
+                stack, gi_alive & gi_hit.valid, gi_o, gi_dir, gi_w,
+                jnp.zeros((r, 3)), medium, depth - 1, jnp.zeros(r, bool),
+            )
 
     # ---- ambient + direct lighting (raytracer.cpp:98-108) ----
     sample_direct = (not opts.path_tracing) or opts.next_event_estimation
@@ -437,7 +450,28 @@ def _process_hit(pack: ScenePack, opts: RenderOptions, o, d, w_in, absorb,
             refl_medium = jnp.where(is_rl, child_medium, refl_medium)
             refl_env |= is_rl & bool(st.has_env)
 
-    if any_specular:
+    if opts.path_tracing and opts.stochastic_spec_gi:
+        # single-child estimator (round 5): where a GI child AND a specular
+        # child both exist, a replayed fair coin (k_c) picks one and its
+        # weight doubles; single-child lanes push as usual.  E over the
+        # coin = GI + specular = the reference's two-child recursion.
+        gi_would = gi_alive & gi_hit.valid
+        spec_would = any_reflect if any_specular else jnp.zeros(r, bool)
+        both = gi_would & spec_would
+        choose_gi = jax.random.uniform(k_c, (r,)) < 0.5
+        two = jnp.where(both, 2.0, 1.0)[:, None]
+        stack = _push(
+            stack, gi_would & (~spec_would | choose_gi), gi_o, gi_dir,
+            gi_w * two, jnp.zeros((r, 3)), medium, depth - 1,
+            jnp.zeros(r, bool),
+        )
+        if any_specular:
+            stack = _push(
+                stack, spec_would & (~gi_would | ~choose_gi), refl_o,
+                refl_d, refl_w * two, refl_absorb, refl_medium, depth - 1,
+                refl_env,
+            )
+    elif any_specular:
         stack = _push(stack, any_reflect, refl_o, refl_d, refl_w,
                       refl_absorb, refl_medium, depth - 1, refl_env)
 
@@ -486,6 +520,9 @@ def trace_radiance(pack: ScenePack, cam, px, py, key, opts: RenderOptions):
     # dielectric split (elided in stochastic single-path mode).
     branches = 1 + (1 if opts.path_tracing else 0) + (
         1 if st.has_dielectric and not opts.stochastic_dielectric else 0)
+    if opts.path_tracing and opts.stochastic_spec_gi:
+        # single-child estimator: every node pushes at most one child
+        branches = 1
     depth_total = opts.max_depth + (RR_DEPTH_FLOOR if opts.russian_roulette else 0)
     if branches == 1:
         # pure specular chains push at most ONE pending child between pops —

@@ -154,3 +154,49 @@ def textured_xml(image_path: str, decal="replace_kd", interp="nearest",
     objects = (QUAD_OBJ if obj == "quad" else SPHERE_OBJ).format(tex=tex_ids)
     return TEXTURED.format(image=image_path, decal=decal, interp=interp,
                            objects=objects, res=res)
+
+
+MIRROR_MAT = """<Material id="5" type="mirror">
+      <AmbientReflectance>0 0 0</AmbientReflectance>
+      <DiffuseReflectance>0.05 0.05 0.05</DiffuseReflectance>
+      <SpecularReflectance>0 0 0</SpecularReflectance>
+      <MirrorReflectance>0.85 0.88 0.9</MirrorReflectance></Material>"""
+CONDUCTOR_MAT = """<Material id="6" type="conductor">
+      <AmbientReflectance>0 0 0</AmbientReflectance>
+      <DiffuseReflectance>0.05 0.02 0.02</DiffuseReflectance>
+      <SpecularReflectance>0 0 0</SpecularReflectance>
+      <MirrorReflectance>0.9 0.7 0.5</MirrorReflectance>
+      <RefractionIndex>0.2</RefractionIndex>
+      <AbsorptionIndex>3.9</AbsorptionIndex></Material>"""
+DIELECTRIC_MAT = """<Material id="7" type="dielectric">
+      <AmbientReflectance>0 0 0</AmbientReflectance>
+      <DiffuseReflectance>0 0 0</DiffuseReflectance>
+      <SpecularReflectance>0 0 0</SpecularReflectance>
+      <RefractionIndex>1.5</RefractionIndex>
+      <AbsorptionCoefficient>0.02 0.05 0.02</AbsorptionCoefficient>
+      </Material>"""
+
+
+def cornell_pt_spec_xml(depth=2, res=32, spp=1, params="NextEventEstimation",
+                        radiance=8.0, dielectric=False) -> str:
+    """Cornell PT box with specular mixtures (round 5): the left wall
+    becomes a mirror and the right wall a conductor; with ``dielectric``,
+    a glass sphere sits mid-box.  Exercises the reference's PT recursion
+    through specular hits (raytracer.cpp:135-191 + 261-472)."""
+    xml = cornell_pt_xml(depth=depth, res=res, spp=spp, params=params,
+                         radiance=radiance)
+    mats = MIRROR_MAT + "\n" + CONDUCTOR_MAT
+    if dielectric:
+        mats += "\n" + DIELECTRIC_MAT
+    xml = xml.replace("</Materials>", mats + "\n</Materials>")
+    xml = xml.replace('<Mesh id="4"><Material>2</Material>',
+                      '<Mesh id="4"><Material>5</Material>')
+    xml = xml.replace('<Mesh id="5"><Material>3</Material>',
+                      '<Mesh id="5"><Material>6</Material>')
+    if dielectric:
+        xml = xml.replace(
+            "</VertexData>", "  0 3.5 0\n  </VertexData>").replace(
+            "</Objects>",
+            '<Sphere id="1"><Material>7</Material>'
+            "<Center>13</Center><Radius>2</Radius></Sphere>\n  </Objects>")
+    return xml

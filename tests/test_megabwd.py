@@ -426,3 +426,81 @@ def test_megabwd_path_tracing_russian_roulette(tmp_path):
     # chain would otherwise stop at 2 segments and this test proves
     # nothing about the floor)
     assert float(jnp.sum(jnp.abs(g1["mat_radiance"]))) > 0
+
+
+@pytest.mark.parametrize("dielectric", [False, True])
+def test_megabwd_path_tracing_specular(tmp_path, dielectric):
+    """PT + specular mixtures through the fused kernel (round 5): mirror
+    and conductor walls (and optionally a glass sphere) in the PT cornell
+    box.  Where a hit spawns both a GI child and a specular child, the
+    replayed coin (wavefront_rng need_sg) picks one and doubles its
+    weight — the stochastic_spec_gi estimator the oracle replays — so
+    values and gradients match the wavefront lane-for-lane
+    (raytracer.cpp:135-191 + 261-472)."""
+    from tests.scene_builders import cornell_pt_spec_xml
+
+    (tmp_path / "pts.xml").write_text(cornell_pt_spec_xml(
+        depth=2, res=32, spp=1, params="NextEventEstimation",
+        dielectric=dielectric))
+    cfg = load_scene(str(tmp_path / "pts.xml"))
+    pack = pack_scene(cfg)
+    assert pack.static.has_mirror and pack.static.has_conductor
+    assert pack.static.has_dielectric == dielectric
+    cam_cfg = cfg.cameras[0]
+    cam = build_camera(cam_cfg)
+    opts = options_for_camera(cfg, cam_cfg)
+    assert opts.path_tracing
+    assert bwd_eligible(pack.static, opts, pack)
+    n = 256
+    rng = np.random.default_rng(5)
+    px = jnp.asarray(rng.uniform(0, cam_cfg.width, n).astype(np.float32))
+    py = jnp.asarray(rng.uniform(0, cam_cfg.height, n).astype(np.float32))
+    o, d = generate_rays(cam, px, py, jnp.zeros((n, 2)), dof=False)
+    d_opts = RenderOptions(
+        max_depth=opts.max_depth, differentiable=True,
+        max_iters=opts.max_depth + 2, path_tracing=True,
+        next_event_estimation=True,
+        stochastic_dielectric=dielectric, stochastic_spec_gi=True)
+    keys = PT_PARAMS + ("mat_mirror", "pl_intensity")
+    params = extract_params(pack, keys)
+    f = make_diff_render(pack, opts, interpret=True)
+
+    def loss_k(p):
+        img = f(p, o, d)
+        return jnp.sum(img * jnp.cos(0.01 * img))
+
+    def loss_j(p):
+        img = trace_radiance(inject_params(pack, p), cam, px, py,
+                             jax.random.PRNGKey(0), d_opts)
+        return jnp.sum(img * jnp.cos(0.01 * img))
+
+    v0, g0 = jax.value_and_grad(loss_j)(params)
+    v1, g1 = jax.value_and_grad(loss_k)(params)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=2e-4)
+    for k in keys:
+        a, b = np.asarray(g0[k]), np.asarray(g1[k])
+        if a.size == 0:
+            continue
+        assert np.all(np.isfinite(a)), f"oracle NaN: {k}"
+        assert np.all(np.isfinite(b)), k
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, rtol=5e-3, atol=5e-4 * scale,
+                                   err_msg=k)
+    # mirror gradients actually flow (a specular chain was taken by some
+    # lane, otherwise this test proves nothing about the mixture)
+    assert np.abs(np.asarray(g1["mat_mirror"])).sum() > 0
+    # finite-difference check of the kernel's own forward on the mirror
+    # reflectance (deterministic given the replayed draws)
+    h = 1e-3
+    mir = np.asarray(params["mat_mirror"]).copy()
+    row = int(np.argmax(np.abs(np.asarray(g1["mat_mirror"])).sum(axis=1)))
+    vals = []
+    for s in (+h, -h):
+        m2 = mir.copy()
+        m2[row, 0] += s
+        p2 = dict(params)
+        p2["mat_mirror"] = jnp.asarray(m2)
+        vals.append(float(loss_k(p2)))
+    fd = (vals[0] - vals[1]) / (2 * h)
+    ad = float(np.asarray(g1["mat_mirror"])[row, 0])
+    np.testing.assert_allclose(ad, fd, rtol=5e-3, atol=1e-4)

@@ -741,19 +741,19 @@ def test_megakernel_image_texture_eligibility(tmp_path):
     _write_test_png(ok_png, 16, 16, 6)
     assert check(ok_png)
 
-    # oversized image -> fallback (gate is on texel count)
+    # oversized image -> routes via the HBM windowed gather since round 5
     side = int(np.sqrt(_IMG_MAX_TEXELS)) + 9
     big_png = tmp_path / "big.png"
     _write_test_png(big_png, side, side, 7)
-    assert not check(big_png)
+    assert check(big_png)
 
-    # float texels (EXR) -> fallback
+    # float texels (EXR) -> the big table too (f32 channel rows)
     from advanced_cpu_raytracing_tpu.scene.images import write_exr
 
     exr = tmp_path / "grad.exr"
     rng = np.random.default_rng(8)
     write_exr(str(exr), rng.uniform(0.0, 2.0, (8, 16, 3)).astype(np.float32))
-    assert not check(exr)
+    assert check(exr)
 
     # normal-map decal routes in-kernel since round 4
     assert check(ok_png, lambda x: x.replace(
@@ -766,12 +766,10 @@ def test_megakernel_image_texture_eligibility(tmp_path):
         "<DecalMode>replace_background</DecalMode>"))
 
 
-def _env_scene(tmp_path, mirror: bool = True):
-    """Env-lit scene: lat-long EXR (64x32) + floor mesh + mirror sphere
-    (mirror children sample the env on miss)."""
+def _env_scene(tmp_path, mirror: bool = True, w: int = 64, h: int = 32):
+    """Env-lit scene: lat-long EXR (default 64x32) + floor mesh + mirror
+    sphere (mirror children sample the env on miss)."""
     from advanced_cpu_raytracing_tpu.scene.images import write_exr
-
-    h, w = 32, 64
     ys, xs = np.mgrid[0:h, 0:w]
     env = np.stack([
         1.0 + 3.0 * xs / w,
@@ -876,9 +874,12 @@ def test_megakernel_env_light(tmp_path):
 
 
 def test_megakernel_env_eligibility(tmp_path):
-    """Megapixel env maps stay on the wavefront fallback."""
+    """Env maps of any committed size route in-kernel: small ones via the
+    VMEM row-masked gather, megapixel ones (round 5) via the HBM windowed
+    gather (env_big)."""
     from advanced_cpu_raytracing_tpu.ops.pallas.megakernel import (
         _IMG_MAX_TEXELS,
+        build_mega as _bm,
         mega_eligible as _me,
     )
     from advanced_cpu_raytracing_tpu.render.renderer import options_for_camera
@@ -887,14 +888,17 @@ def test_megakernel_env_eligibility(tmp_path):
     cfg, pack = _env_scene(tmp_path, mirror=False)
     opts = options_for_camera(cfg, cfg.cameras[0])
     assert _me(pack.static, opts, pack)
+    assert not _bm(pack, opts)[0].env_big
 
     side = int(np.sqrt(_IMG_MAX_TEXELS)) + 9
     big = np.ones((side, side, 3), np.float32)
     write_exr(str(tmp_path / "env.exr"), big)
     cfg2 = load_scene(str(tmp_path / "env_scene.xml"))
     pack2 = pack_scene(cfg2)
-    assert not _me(pack2.static, options_for_camera(cfg2, cfg2.cameras[0]),
-                   pack2)
+    opts2 = options_for_camera(cfg2, cfg2.cameras[0])
+    assert _me(pack2.static, opts2, pack2)
+    mc2, _, _, img2 = _bm(pack2, opts2)
+    assert mc2.env_big and isinstance(img2, tuple)
 
 
 MAPS_SCENE = """<Scene>
@@ -1097,3 +1101,146 @@ def test_megakernel_six_textures(tmp_path):
     diff = np.abs(l_mega - l_jnp)
     assert np.mean(diff) < 0.01, np.mean(diff)
     assert np.quantile(diff, 0.999) < 0.5
+
+
+def _compare_big(tmp_path, img1_path, img2_path, expect_big):
+    """Shared harness: IMAGE_SCENE with the given texture images must route
+    in-kernel with the expected big-table entries and match the wavefront."""
+    from advanced_cpu_raytracing_tpu.ops.pallas.megakernel import (
+        build_mega as _bm,
+        mega_eligible as _me,
+        mega_trace as _mt,
+    )
+    from advanced_cpu_raytracing_tpu.render.renderer import options_for_camera
+
+    p = tmp_path / "bigimage.xml"
+    p.write_text(IMAGE_SCENE.format(img1=img1_path, img2=img2_path))
+    cfg = load_scene(str(p))
+    pack = pack_scene(cfg)
+    opts = options_for_camera(cfg, cfg.cameras[0])
+    assert _me(pack.static, opts, pack)
+    mc, tab, ctab, img_tab = _bm(pack, opts)
+    assert [bool(e) for e in mc.big_textures] == expect_big, mc.big_textures
+    assert isinstance(img_tab, tuple) and img_tab[1].ndim == 2
+    cam = build_camera(cfg.cameras[0])
+    rng = np.random.default_rng(21)
+    n = 2048
+    px = jnp.asarray(rng.uniform(0, 320, n).astype(np.float32))
+    py = jnp.asarray(rng.uniform(0, 240, n).astype(np.float32))
+    o, d = cam_mod.generate_rays(cam, px, py, jnp.zeros((n, 2)), dof=False)
+    l_mega = np.asarray(_mt(mc, tab, ctab, o, d, interpret=True,
+                            img_tab=img_tab))
+    l_jnp = np.asarray(trace_radiance(pack, cam, px, py,
+                                      jax.random.PRNGKey(0), opts))
+    diff = np.abs(l_mega - l_jnp)
+    assert np.mean(diff) < 0.01, np.mean(diff)
+    assert np.quantile(diff, 0.999) < 0.5, np.quantile(diff, 0.999)
+
+
+def test_megakernel_big_texture_nearest(tmp_path):
+    """Round 5: an image past the VMEM texel budget routes through the HBM
+    windowed gather (tiled big table) — nearest + UV tiling on the floor,
+    mixed with small VMEM textures and perlin; kernel == wavefront."""
+    img1 = tmp_path / "big1.png"
+    img2 = tmp_path / "small2.png"
+    _write_test_png(img1, 164, 127, 3)  # 20828 texels > 16384, odd tiles
+    _write_test_png(img2, 33, 7, 4)
+    # textures 1 (img1: nearest replace_kd) big; 2+3 (img2) small; 4 perlin
+    _compare_big(tmp_path, img1, img2, [True, False, False, False])
+
+
+def test_megakernel_big_texture_bilinear(tmp_path):
+    """Round 5: big-table bilinear (4-tap windowed gather) through the
+    blend_kd and replace_ks decals; kernel == wavefront."""
+    img1 = tmp_path / "small1.png"
+    img2 = tmp_path / "big2.png"
+    _write_test_png(img1, 16, 16, 3)
+    _write_test_png(img2, 150, 110, 4)  # 16500 texels > 16384
+    _compare_big(tmp_path, img1, img2, [False, True, True, False])
+
+
+def test_megakernel_hdr_texture(tmp_path):
+    """Round 5: float-texel (EXR/HDR) images route through the big table
+    regardless of size (the VMEM path's packed-RGB f32 trick is
+    integer-only); kernel == wavefront (HDRImage.h:45-70 capability)."""
+    from advanced_cpu_raytracing_tpu.scene.images import write_exr
+
+    img1 = tmp_path / "hdr1.exr"
+    img2 = tmp_path / "small2.png"
+    rng = np.random.default_rng(9)
+    write_exr(str(img1),
+              rng.uniform(0.0, 400.0, (30, 40, 3)).astype(np.float32))
+    _write_test_png(img2, 33, 7, 4)
+    _compare_big(tmp_path, img1, img2, [True, False, False, False])
+
+
+def test_megakernel_big_normal_bump_replaceall(tmp_path):
+    """Round 5: big-table textures through the normal-map, image-bump and
+    replace_all decal paths (grey taps served in one windowed loop)."""
+    from advanced_cpu_raytracing_tpu.ops.pallas.megakernel import (
+        build_mega as _bm,
+        mega_eligible as _me,
+        mega_trace as _mt,
+    )
+    from advanced_cpu_raytracing_tpu.render.renderer import options_for_camera
+
+    img1 = tmp_path / "bignm.png"
+    img2 = tmp_path / "bigbump.png"
+    _write_test_png(img1, 160, 120, 5)  # 19200 texels
+    _write_test_png(img2, 140, 123, 6)  # 17220 texels
+    p = tmp_path / "bigmaps.xml"
+    p.write_text(MAPS_SCENE.format(img1=img1, img2=img2))
+    cfg = load_scene(str(p))
+    pack = pack_scene(cfg)
+    opts = options_for_camera(cfg, cfg.cameras[0])
+    assert _me(pack.static, opts, pack)
+    mc, tab, ctab, img_tab = _bm(pack, opts)
+    assert mc.img_normal and mc.img_bump and mc.img_ra
+    assert all(bool(e) for e in mc.big_textures)
+    cam = build_camera(cfg.cameras[0])
+    rng = np.random.default_rng(13)
+    n = 2048
+    px = jnp.asarray(rng.uniform(0, 320, n).astype(np.float32))
+    py = jnp.asarray(rng.uniform(0, 240, n).astype(np.float32))
+    o, d = cam_mod.generate_rays(cam, px, py, jnp.zeros((n, 2)), dof=False)
+    l_mega = np.asarray(_mt(mc, tab, ctab, o, d, interpret=True,
+                            img_tab=img_tab))
+    l_jnp = np.asarray(trace_radiance(pack, cam, px, py,
+                                      jax.random.PRNGKey(0), opts))
+    diff = np.abs(l_mega - l_jnp)
+    assert np.mean(diff) < 0.02, np.mean(diff)
+    assert np.quantile(diff, 0.995) < 1.0, np.quantile(diff, 0.995)
+
+
+def test_megakernel_big_env(tmp_path):
+    """Round 5: a lat-long env map past the VMEM budget samples through the
+    HBM windowed gather; the deterministic env background (primary + mirror
+    misses) must match the wavefront exactly."""
+    from advanced_cpu_raytracing_tpu.ops.pallas.megakernel import (
+        build_mega as _bm,
+        mega_eligible as _me,
+        mega_trace as _mt,
+    )
+    from advanced_cpu_raytracing_tpu.ops.traverse import closest_hit
+    from advanced_cpu_raytracing_tpu.render.renderer import options_for_camera
+
+    cfg, pack = _env_scene(tmp_path, mirror=True, w=200, h=100)
+    opts = options_for_camera(cfg, cfg.cameras[0])
+    assert _me(pack.static, opts, pack)
+    mc, tab, ctab, img_tab = _bm(pack, opts, host_rng=True)
+    assert mc.env_big and mc.env[0] == 200 and mc.env[1] == 100
+    cam = build_camera(cfg.cameras[0])
+    rng = np.random.default_rng(0)
+    n = 2048
+    px = jnp.asarray(rng.uniform(0, 320, n).astype(np.float32))
+    py = jnp.asarray(rng.uniform(0, 240, n).astype(np.float32))
+    o, d = cam_mod.generate_rays(cam, px, py, jnp.zeros((n, 2)), dof=False)
+    w_opts = RenderOptions(max_depth=cfg.max_recursion_depth)
+    img_k = np.asarray(_mt(mc, tab, ctab, o, d, interpret=True, seed=0,
+                           rng_key=jax.random.PRNGKey(0), img_tab=img_tab))
+    img_j = np.asarray(trace_radiance(pack, cam, px, py,
+                                      jax.random.PRNGKey(0), w_opts))
+    hit = np.asarray(closest_hit(pack, o, d, jnp.zeros(n)).valid)
+    assert (~hit).sum() > 200
+    np.testing.assert_allclose(img_k[~hit], img_j[~hit], rtol=1e-5,
+                               atol=1e-5)

@@ -49,7 +49,7 @@ def main() -> int:
 
     # dedicated modes skip the golden sweep (each runs as its own process;
     # re-sweeping 8 scenes per mode would triple the TPU time)
-    modes = {"--bwd", "--env", "--stream", "--perlin", "--pt"}
+    modes = {"--bwd", "--env", "--stream", "--perlin", "--pt", "--bigtex"}
     names = [] if modes & set(sys.argv) else list(TOP)
     if "--contrib" in sys.argv:
         names += CONTRIB
@@ -358,6 +358,177 @@ def main() -> int:
                   flush=True)
         finally:
             del os.environ["ACRT_NO_MEGA"]
+        return 0
+
+    if "--bigtex" in sys.argv:
+        # round 5: MEGAPIXEL (1024x1024) texture through the HBM windowed
+        # gather on real TPU — wall-clock vs the reference binary on the
+        # identical scene + image diff, plus an HDR (EXR) texture variant
+        # checked against the jnp fallback (imageTexture.h:60-133,
+        # HDRImage.h:45-70 capabilities)
+        import subprocess
+        import tempfile
+
+        from PIL import Image as PILImage
+
+        from advanced_cpu_raytracing_tpu.ops.pallas.megakernel import (
+            build_mega,
+        )
+        from advanced_cpu_raytracing_tpu.scene.images import write_exr
+
+        td = pathlib.Path(tempfile.mkdtemp())
+        # smooth color field + soft checker: sub-texel fp differences
+        # between implementations stay sub-LSB after quantization
+        n = 1024
+        ys, xs = np.mgrid[0:n, 0:n] / float(n)
+        checker = ((np.floor(xs * 16) + np.floor(ys * 16)) % 2)
+        tex = np.stack([
+            120 + 100 * np.sin(6.28 * xs) * np.cos(3.14 * ys),
+            60 + 60 * checker,
+            200 * ys,
+        ], axis=-1).clip(0, 255).astype(np.uint8)
+        PILImage.fromarray(tex, "RGB").save(td / "mega.png")
+        # the reference hardcodes an "inputs/" prefix on image paths
+        # (parser.cpp:107-110); our parser searches <scene dir>/inputs too
+        (td / "inputs").mkdir()
+        PILImage.fromarray(tex, "RGB").save(td / "inputs" / "mega.png")
+
+        xml = f"""<Scene>
+  <BackgroundColor>10 10 20</BackgroundColor>
+  <MaxRecursionDepth>2</MaxRecursionDepth>
+  <Cameras><Camera id="1">
+    <Position>0 1.2 4</Position><Gaze>0 -0.22 -1</Gaze><Up>0 1 0</Up>
+    <NearPlane>-1 1 -0.75 0.75</NearPlane><NearDistance>1</NearDistance>
+    <ImageResolution>800 600</ImageResolution>
+    <ImageName>feat_bigtex.png</ImageName>
+  </Camera></Cameras>
+  <Lights>
+    <AmbientLight>25 25 25</AmbientLight>
+    <PointLight id="1"><Position>2 4 2</Position>
+      <Intensity>900 900 900</Intensity></PointLight>
+  </Lights>
+  <Materials>
+    <Material id="1"><AmbientReflectance>1 1 1</AmbientReflectance>
+      <DiffuseReflectance>0.7 0.5 0.4</DiffuseReflectance>
+      <SpecularReflectance>0.3 0.3 0.3</SpecularReflectance>
+      <PhongExponent>25</PhongExponent></Material>
+    <Material id="2" type="Mirror"><AmbientReflectance>0 0 0</AmbientReflectance>
+      <DiffuseReflectance>0.1 0.1 0.1</DiffuseReflectance>
+      <SpecularReflectance>0 0 0</SpecularReflectance>
+      <MirrorReflectance>0.9 0.9 0.9</MirrorReflectance>
+      <PhongExponent>1</PhongExponent></Material>
+  </Materials>
+  <Textures>
+    <Images><Image id="1">mega.png</Image></Images>
+    <TextureMap id="1" type="image">
+      <DecalMode>replace_kd</DecalMode><ImageId>1</ImageId>
+      <Interpolation>bilinear</Interpolation>
+    </TextureMap>
+  </Textures>
+  <VertexData>
+    -8 -1 4   8 -1 4   8 -1 -12   -8 -1 -12
+    0 0.2 -2
+  </VertexData>
+  <TexCoordData>
+    0 1   1 1   1 0   0 0
+  </TexCoordData>
+  <Objects>
+    <Mesh id="1"><Material>1</Material><Textures>1</Textures>
+      <Faces>1 2 3  1 3 4</Faces></Mesh>
+    <Sphere id="1"><Material>2</Material><Center>5</Center>
+      <Radius>1.0</Radius></Sphere>
+  </Objects>
+</Scene>"""
+        scene = td / "feat_bigtex.xml"
+        scene.write_text(xml)
+
+        ref_dt = None
+        ref_png = None
+        try:
+            out = subprocess.run(["/root/reference/src/raytracer",
+                                  str(scene)], cwd=td, capture_output=True,
+                                 text=True, timeout=600)
+            import re as _re
+            m = _re.search(r"Rendering took: ([0-9.]+)s", out.stdout)
+            ref_dt = float(m.group(1)) if m else None
+            p = td / "feat_bigtex.png"
+            if p.exists():
+                ref_png = p
+        except Exception as e:  # noqa: BLE001
+            print(f"bigtex: reference run failed: {e}")
+
+        cfg = load_scene(str(scene))
+        pack = pack_scene(cfg)
+        cam_cfg = cfg.cameras[0]
+        opts = options_for_camera(cfg, cam_cfg)
+        assert _mega_route(pack, opts), "bigtex scene must route mega"
+        mc = build_mega(pack, opts)[0]
+        assert mc.big_textures and mc.big_textures[0], mc.big_textures
+        img = np.asarray(render_camera(pack, cfg, cam_cfg, seed=0, ldr=True))
+        t0 = time.perf_counter()
+        img = np.asarray(render_camera(pack, cfg, cam_cfg, seed=1, ldr=True))
+        dt = time.perf_counter() - t0
+        if ref_dt:
+            print(f"bigtex: mega tpu {dt:.3f}s ref_cpu {ref_dt}s "
+                  f"({ref_dt / dt:.1f}x)", flush=True)
+        else:
+            print(f"bigtex: mega tpu {dt:.3f}s (no reference timing)",
+                  flush=True)
+        if ref_png is not None:
+            gold = np.asarray(PILImage.open(ref_png).convert("RGB"))
+            d = np.abs(img.astype(int) - gold.astype(int))
+            print(f"bigtex: vs reference mean={d.mean():.3f} "
+                  f"frac>2={(d > 2).mean():.4f}", flush=True)
+        # compiled kernel vs jnp fallback, quarter res (deterministic)
+        import dataclasses
+
+        small = dataclasses.replace(cam_cfg, width=200, height=150)
+        img_m = np.asarray(render_camera(pack, cfg, small, seed=1, ldr=True))
+        os.environ["ACRT_NO_MEGA"] = "1"
+        try:
+            t0 = time.perf_counter()
+            img_j = np.asarray(render_camera(pack, cfg, small, seed=1,
+                                             ldr=True))
+            dtj = time.perf_counter() - t0
+        finally:
+            del os.environ["ACRT_NO_MEGA"]
+        d = np.abs(img_m.astype(int) - img_j.astype(int))
+        print(f"bigtex: mega vs jnp fallback mean={d.mean():.4f} "
+              f"max={d.max()} (fallback {dtj:.3f}s @200x150)", flush=True)
+
+        # HDR variant: EXR texture (float texels) through the big table
+        hdr = np.stack([
+            0.4 + 2.5 * xs,
+            0.2 + 1.5 * checker,
+            3.0 * ys * ys,
+        ], axis=-1).astype(np.float32)
+        write_exr(str(td / "mega.exr"), hdr)
+        write_exr(str(td / "inputs" / "mega.exr"), hdr)
+        scene2 = td / "feat_bigtex_hdr.xml"
+        scene2.write_text(xml.replace("mega.png", "mega.exr")
+                          .replace("feat_bigtex.png", "feat_bigtex_hdr.png"))
+        cfg2 = load_scene(str(scene2))
+        pack2 = pack_scene(cfg2)
+        opts2 = options_for_camera(cfg2, cfg2.cameras[0])
+        assert _mega_route(pack2, opts2), "hdr scene must route mega"
+        img = np.asarray(render_camera(pack2, cfg2, cfg2.cameras[0], seed=0,
+                                       ldr=True))
+        t0 = time.perf_counter()
+        img = np.asarray(render_camera(pack2, cfg2, cfg2.cameras[0], seed=1,
+                                       ldr=True))
+        dt = time.perf_counter() - t0
+        small2 = dataclasses.replace(cfg2.cameras[0], width=200, height=150)
+        img_m = np.asarray(render_camera(pack2, cfg2, small2, seed=1,
+                                         ldr=True))
+        os.environ["ACRT_NO_MEGA"] = "1"
+        try:
+            img_j = np.asarray(render_camera(pack2, cfg2, small2, seed=1,
+                                             ldr=True))
+        finally:
+            del os.environ["ACRT_NO_MEGA"]
+        d = np.abs(img_m.astype(int) - img_j.astype(int))
+        print(f"bigtex: HDR(exr) mega tpu {dt:.3f}s; vs jnp fallback "
+              f"mean={d.mean():.4f} max={d.max()}", flush=True)
         return 0
 
     if "--perlin" in sys.argv:
