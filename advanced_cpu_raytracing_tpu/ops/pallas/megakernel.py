@@ -169,6 +169,10 @@ class MegaConsts:
     img_normal: tuple = ()
     img_bump: tuple = ()
     has_tbn: bool = False
+    # round 5: TBN columns are OBJECT-space (+ object normal 36:39 and
+    # per-entity M^-T 39:48) for scenes with transformed mapped meshes;
+    # identity scenes keep the 6-col precomposed world TBN
+    tbn_obj: bool = False
     # geometry beyond the VMEM budget: the tri table stays in HBM and each
     # chunk that survives the per-block AABB cull is DMA'd into a VMEM
     # scratch before its 128-face sweep (lifts the 98,304-face ceiling to
@@ -191,6 +195,15 @@ class MegaConsts:
     # env map beyond the VMEM gather budget: mc.env becomes
     # (width, height, row0_in_big_table, tiles_x) and env_big is set
     env_big: bool = False
+    # replace_background decal (round 5, texture.h:49-52): texture index
+    # sampled at (px/width, py/height) on primary miss — the kernel gets
+    # two pixel-uv input planes beside o/d
+    bg_tex: int = -1
+    # sphere textures (round 5, sphere.cpp:116-169): per sphere, its
+    # (diffuse, specular, replace_all) texture slots (-1 = none); the
+    # trace computes spherical UV from the local hit point with the
+    # in-kernel atan2/acos polynomials
+    sph_tex: tuple = ()
 
 
 def mega_eligible(static, opts, pack=None) -> bool:
@@ -327,7 +340,8 @@ def _textures_eligible(static, pack) -> bool:
                  int(DecalMode.REPLACE_KS), int(DecalMode.BUMP_NORMAL)}
     ok_image = {int(DecalMode.REPLACE_KD), int(DecalMode.BLEND_KD),
                 int(DecalMode.REPLACE_KS), int(DecalMode.REPLACE_ALL),
-                int(DecalMode.REPLACE_NORMAL), int(DecalMode.BUMP_NORMAL)}
+                int(DecalMode.REPLACE_NORMAL), int(DecalMode.BUMP_NORMAL),
+                int(DecalMode.REPLACE_BACKGROUND)}
     total_texels = 0
     total_big = 0
     for i in range(static.n_textures):
@@ -351,14 +365,23 @@ def _textures_eligible(static, pack) -> bool:
             total_big += w * h
     if total_texels > 2 * _IMG_MAX_TEXELS or total_big > _BIG_MAX_TOTAL:
         return False
-    if static.n_spheres and (np.asarray(pack.sph_tex) >= 0).any():
-        return False
+    if static.n_spheres:
+        # spheres: diffuse/specular/replace_all decals supported in-kernel
+        # (spherical UV from the local hit, sphere.cpp:138-167); bump maps
+        # (sphere.cpp:116-137 tangent machinery) stay wavefront-only, and
+        # sphere normal-map slots are a no-op in the reference
+        # (sphere.cpp:95-115 commented out) and in shading.py
+        stx = np.asarray(pack.sph_tex)
+        if (stx[:, SLOT_BUMP] >= 0).any():
+            return False
     et = np.asarray(pack.ent_tex)
-    # TBN-dependent slots (normal map, image bump) and replace_all need the
-    # world==object identity (see docstring)
-    mapped = np.where((et[:, SLOT_NORMAL] >= 0)
-                      | (et[:, SLOT_REPLACE_ALL] >= 0)
-                      | (et[:, SLOT_BUMP] >= 0))[0]
+    # PERLIN-bump entities still need the world==object identity (the
+    # kernel projects a world-space gradient against its world normal,
+    # shading.py does it in object space); image normal/bump maps and
+    # replace_all work on ANY transform since round 5 — object-space TBN
+    # columns + per-entity M^-T columns (mesh.cpp:264-357 semantics)
+    pb = et[:, SLOT_BUMP]
+    mapped = np.where((pb >= 0) & (kind[np.maximum(pb, 0)] == 1))[0]
     if len(mapped):
         nrm = np.asarray(pack.ent_nrm)[mapped]
         if not np.allclose(nrm, np.eye(3, dtype=np.float32), atol=1e-6):
@@ -395,13 +418,20 @@ def build_mega(pack, opts, host_rng: bool = False):
         )
 
         _et = np.asarray(pack.ent_tex)
-        has_tbn = bool(has_img and (
-            (_et[:, _SN] >= 0).any()
-            or ((_et[:, _SB] >= 0)
-                & (kind_np[np.maximum(_et[:, _SB], 0)] == 0)).any()))
+        _tbn_ents = ((_et[:, _SN] >= 0)
+                     | ((_et[:, _SB] >= 0)
+                        & (kind_np[np.maximum(_et[:, _SB], 0)] == 0)))
+        has_tbn = bool(has_img and _tbn_ents.any())
+        # round 5: mapped entities with non-identity normal matrices use
+        # OBJECT-space TBN columns + per-entity M^-T columns (cols 36:48);
+        # identity scenes keep the precomposed world-space 6-col fast path
+        tbn_obj = bool(has_tbn and not np.allclose(
+            np.asarray(pack.ent_nrm)[np.where(_tbn_ents)[0]],
+            np.eye(3, dtype=np.float32), atol=1e-6))
     else:
         has_tbn = False
-    n_cols = (40 if has_tbn else 32) if has_img \
+        tbn_obj = False
+    n_cols = ((48 if tbn_obj else 40) if has_tbn else 32) if has_img \
         else (24 if (st.has_motion or has_tex) else 16)
     tab = np.zeros((max(w, 1), n_cols), np.float32)
     tab[:, 13] = -1.0
@@ -450,8 +480,11 @@ def build_mega(pack, opts, host_rng: bool = False):
         if has_tbn:
             # per-face tangent/bitangent from UV edges in cols 30:36
             # (Mesh::GetTangentAndBitangentForTriangle, mesh.cpp:390-422;
-            # shading.py::_tri_tangents — identity-normal-matrix entities
-            # only, so world edge vectors equal object ones)
+            # shading.py::_tri_tangents).  Identity scenes: world edge
+            # vectors equal object ones, so the columns double as the
+            # precomposed world TBN.  tbn_obj (round 5): columns hold the
+            # OBJECT-space TBN + object normal (36:39) + per-entity M^-T
+            # (39:48) and the kernel transforms the mapped normal itself.
             def _nrm(v):
                 return v / np.maximum(
                     np.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
@@ -461,8 +494,14 @@ def build_mega(pack, opts, host_rng: bool = False):
                 frac = np.where(frac < 0.0001, 1.0, frac)
                 return np.where(u > 1.0001, frac, u)
 
-            e1 = _nrm(tab[:w, 3:6] - tab[:w, 0:3])
-            e2 = _nrm(tab[:w, 6:9] - tab[:w, 3:6])
+            if tbn_obj:
+                vo = np.asarray(pack.verts)[
+                    np.asarray(pack.tri_vidx)[np.asarray(pack.wi_face)[:w]]]
+                e1 = _nrm(vo[:, 1] - vo[:, 0])
+                e2 = _nrm(vo[:, 2] - vo[:, 1])
+            else:
+                e1 = _nrm(tab[:w, 3:6] - tab[:w, 0:3])
+                e2 = _nrm(tab[:w, 6:9] - tab[:w, 3:6])
             uvt = _tile(tab[:w, 24:30].reshape(w, 3, 2))
             u1 = uvt[:, 1, 0] - uvt[:, 0, 0]
             w1 = uvt[:, 1, 1] - uvt[:, 0, 1]
@@ -474,6 +513,11 @@ def build_mega(pack, opts, host_rng: bool = False):
             bitan = (-u2[:, None] * e1 + u1[:, None] * e2) * det[:, None]
             tab[:w, 30:33] = _nrm(tan)
             tab[:w, 33:36] = _nrm(bitan)
+            if tbn_obj:
+                tab[:w, 36:39] = np.asarray(pack.tri_normal)[
+                    np.asarray(pack.wi_face)[:w]]
+                tab[:w, 39:48] = np.asarray(pack.ent_nrm)[wi_ent] \
+                    .reshape(w, 9)
 
     n_chunks = max((w + CHUNK - 1) // CHUNK, 1)
     ctab = np.zeros((n_chunks, 8), np.float32)
@@ -633,9 +677,24 @@ def build_mega(pack, opts, host_rng: bool = False):
         decal = np.asarray(pack.tex_decal)
         bumpf = np.asarray(pack.tex_bump_factor)
 
+        # sphere texture slots (round 5): their ids join the per-slot
+        # unroll lists alongside the tri-table column ids
+        sph_tex_np = (np.asarray(pack.sph_tex) if st.n_spheres
+                      else np.zeros((0, 5), np.int32))
+
         def slotted(col, kind):
+            ids = set(tab[:w, col])
+            from advanced_cpu_raytracing_tpu.scene.pack import (
+                SLOT_BUMP as _SB2,
+                SLOT_DIFFUSE as _SD2,
+                SLOT_REPLACE_ALL as _SR2,
+                SLOT_SPECULAR as _SS2,
+            )
+            sph_col = {19: _SD2, 20: _SS2, 21: _SB2, 22: _SR2}.get(col)
+            if sph_col is not None and len(sph_tex_np):
+                ids |= set(sph_tex_np[:, sph_col].astype(np.float64))
             return tuple(sorted(
-                int(x) for x in set(tab[:w, col])
+                int(x) for x in ids
                 if x >= 0 and kind_np[int(x)] == kind))
 
         if (kind_np == 1).any():
@@ -794,10 +853,16 @@ def build_mega(pack, opts, host_rng: bool = False):
         img_normal=i_nm,
         img_bump=i_bump,
         has_tbn=has_tbn,
+        tbn_obj=tbn_obj,
         stream_geo=stream_geo,
         env=env,
         big_textures=big_tex,
         env_big=env_big,
+        bg_tex=int(getattr(st, "bg_tex", -1)) if has_tex else -1,
+        sph_tex=tuple(
+            (int(sph_tex_np[i, 0]), int(sph_tex_np[i, 1]),
+             int(sph_tex_np[i, 4]))
+            for i in range(st.n_spheres)) if has_tex else (),
     )
     img_out = jnp.asarray(img_tab)
     if big_tab is not None:
@@ -819,6 +884,9 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
     perm_ref = rest.pop(0) if mc.perlin_textures else None
     img_ref = rest.pop(0) if (mc.image_textures or mc.env) else None
     big_ref = rest.pop(0) if has_big else None
+    # pixel-uv planes for the replace_background decal (texture.h:49-52)
+    pu_ref = rest.pop(0) if mc.bg_tex >= 0 else None
+    pv_ref = rest.pop(0) if mc.bg_tex >= 0 else None
     lx_ref, ly_ref, lz_ref = rest[:3]
     scr_at = 3
     if mc.stream_geo:
@@ -1178,9 +1246,11 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         def _tex_meta(ti_):
             return mc.image_textures[ti_]
 
-    # ---- spherical environment light (sphericalEnvironmentLight.h:8-64;
-    # render/lights.py::env_sample_radiance) ----
-    if mc.env:
+    # ---- inverse-trig polynomials (shared by the env light's lat-long
+    # lookup and round-5 sphere-texture UVs; Mosaic lowers no inverse-trig
+    # primitive, so these are plain VPU polynomials) ----
+    _sph_tex_any = any(s >= 0 for t in mc.sph_tex for s in t)
+    if mc.env or _sph_tex_any:
         _PI = float(np.pi)
 
         def _atan_core(z):
@@ -1213,6 +1283,10 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
 
         def acos_k(t):
             return atan2_k(jnp.sqrt(jnp.maximum(1.0 - t * t, 0.0)), t)
+
+    # ---- spherical environment light (sphericalEnvironmentLight.h:8-64;
+    # render/lights.py::env_sample_radiance) ----
+    if mc.env:
 
         def env_fetch(uu, vv, need):
             """Nearest lat-long texel (ops/texture.py::sample_nearest): raw
@@ -1308,7 +1382,8 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
 
     def sphere_hit(s, px, py, pz, vx, vy, vz):
         """Quadratic sphere test (Sphere::Intersect, src/sphere.cpp:31-72).
-        Returns (t, valid, world-normal xyz, unnormalized)."""
+        Returns (t, valid, world-normal xyz (unnormalized), local
+        hit - center xyz — the latter feeds round-5 spherical UVs)."""
         olx, oly, olz = sphere_local(s, px, py, pz, vx, vy, vz, True)
         dlx, dly, dlz = sphere_local(s, vx, vy, vz, vx, vy, vz, False)
         if mc.has_motion:
@@ -1339,7 +1414,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         nwx = nm[0] * prx + nm[1] * pry + nm[2] * prz
         nwy = nm[3] * prx + nm[4] * pry + nm[5] * prz
         nwz = nm[6] * prx + nm[7] * pry + nm[8] * prz
-        return t, valid, nwx, nwy, nwz
+        return t, valid, nwx, nwy, nwz, prx, pry, prz
 
     n_chunks = (mc.n_tri + CHUNK - 1) // CHUNK
 
@@ -1407,13 +1482,14 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         per = bool(mc.perlin_textures) or bool(mc.image_textures)
         n_slots = (5 if (mc.img_ra or mc.img_normal) else 3) if per else 0
         needs_tbn = mc.has_tbn
+        tbn_n = 18 if mc.tbn_obj else 6
         needs_uv = bool(mc.img_diff or mc.img_spec or mc.img_ra
                         or mc.img_normal or mc.img_bump)
         tbn_at = 6 + n_slots
         neg1 = jnp.full(shape, -1.0)
         init = (jnp.where(active, BIG, 0.0), ZERO, ZERO, ONE, ZERO, neg1) \
             + (neg1,) * n_slots \
-            + ((ZERO,) * 6 if needs_tbn else ()) \
+            + ((ZERO,) * tbn_n if needs_tbn else ()) \
             + ((ZERO, ZERO) if needs_uv else ())
 
         def body(ti, carry):
@@ -1434,7 +1510,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             if needs_tbn:
                 out = out + tuple(
                     jnp.where(better, gref(ti, 30 + k), carry[tbn_at + k])
-                    for k in range(6))
+                    for k in range(tbn_n))
             if needs_uv:
                 # uv = uv0 + beta (uv1-uv0) + gamma (uv2-uv0), untiled
                 # (_gather_tri_uv; tiling happens once on the winner)
@@ -1453,10 +1529,11 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
                                live_of=lambda c: c[0])
         t_b, nx, ny, nz, mf, ml = init[:6]
         tslots = init[6:6 + n_slots] if per else None
-        tbn = init[tbn_at:tbn_at + 6] if needs_tbn else None
+        tbn = init[tbn_at:tbn_at + tbn_n] if needs_tbn else None
         uv = init[-2:] if needs_uv else None
-        for s in mc.spheres:
-            t, valid, nwx, nwy, nwz = sphere_hit(s, px, py, pz, vx, vy, vz)
+        for si, s in enumerate(mc.spheres):
+            t, valid, nwx, nwy, nwz, prx, pry, prz = sphere_hit(
+                s, px, py, pz, vx, vy, vz)
             better = valid & (t < t_b) & active
             t_b = jnp.where(better, t, t_b)
             nx = jnp.where(better, nwx, nx)
@@ -1464,11 +1541,30 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             nz = jnp.where(better, nwz, nz)
             mf = jnp.where(better, float(s[4]), mf)
             ml = jnp.where(better, -1.0, ml)
+            s_slots = (mc.sph_tex[si] if mc.sph_tex else (-1, -1, -1))
             if per:
-                # eligible spheres are never textured (_textures_eligible)
-                tslots = tuple(jnp.where(better, -1.0, s_) for s_ in tslots)
+                # round 5: the winning sphere's static texture slots
+                # (diffuse, specular, [ra]; bump/nm stay -1 — bump spheres
+                # are ineligible and the reference's sphere normal-map
+                # path is disabled, sphere.cpp:95-115)
+                vals = (float(s_slots[0]), float(s_slots[1]), -1.0,
+                        float(s_slots[2]), -1.0)[:n_slots]
+                tslots = tuple(
+                    jnp.where(better, v_, s_)
+                    for v_, s_ in zip(vals, tslots))
             if needs_uv:
-                uv = tuple(jnp.where(better, 0.0, u_) for u_ in uv)
+                if any(x >= 0 for x in s_slots):
+                    # spherical UV from the local hit (sphere.cpp:138-167;
+                    # surface_at: phi = atan2(z, x), theta = acos(clip(
+                    # y/r, ±0.999999)), u = (-phi+pi)/2pi, v = theta/pi)
+                    phi_s = atan2_k(prz, prx)
+                    th_s = acos_k(jnp.clip(pry / s[3], -0.999999, 0.999999))
+                    u_sph = (-phi_s + _PI) / (2.0 * _PI)
+                    v_sph = th_s / _PI
+                else:
+                    u_sph = v_sph = 0.0
+                uv = (jnp.where(better, u_sph, uv[0]),
+                      jnp.where(better, v_sph, uv[1]))
         hit = t_b < (BIG * 0.5)
         nx, ny, nz = norm3(nx, ny, nz)
         return t_b, nx, ny, nz, mf, ml, hit, tslots, tbn, uv
@@ -1497,7 +1593,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
                 live_of=lambda b: jnp.where(b > 0.5, 0.0, limit))
         out = blocked > 0.5
         for s in mc.spheres:
-            t, valid, _, _, _ = sphere_hit(s, px, py, pz, vx, vy, vz)
+            t, valid = sphere_hit(s, px, py, pz, vx, vy, vz)[:2]
             out = out | (valid & (t < limit))
         return out
 
@@ -1589,11 +1685,32 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             cwy = cwy * jnp.exp(-cay * t_safe)
             cwz = cwz * jnp.exp(-caz * t_safe)
 
-        # miss resolution (raytracer.cpp:49-62): env light wins over the
-        # flat background when present; secondary misses sample the env only
-        # for branches flagged env-on-miss (mirror / dielectric children —
-        # integrator.py refl_env), else contribute nothing
-        if mc.env:
+        # miss resolution (raytracer.cpp:49-62): bg texture -> env light ->
+        # flat color for PRIMARY misses; secondary misses sample the env
+        # only for branches flagged env-on-miss (mirror / dielectric
+        # children — integrator.py refl_env), else contribute nothing
+        if mc.bg_tex >= 0:
+            # replace_background decal (round 5, texture.h:49-52): sample
+            # at the pixel-uv input planes, raw values like the wavefront's
+            # miss_col (_sample_tex_rgb)
+            missp = cact & (~hitv) & (it == 0)
+            bu = pu_ref[:, :]
+            bv = pv_ref[:, :]
+            if _tex_is_big(mc.bg_tex):
+                b_r, b_g, b_b = big_img_sample(mc.bg_tex, bu, bv, missp,
+                                               raw=True)
+            else:
+                b_r, b_g, b_b = img_sample(mc.bg_tex, bu, bv, raw=True)
+            lr = lr + jnp.where(missp, cwx * b_r, 0.0)
+            lg = lg + jnp.where(missp, cwy * b_g, 0.0)
+            lb = lb + jnp.where(missp, cwz * b_b, 0.0)
+            if mc.env:
+                misse = cact & (~hitv) & (it > 0) & (cenv_f > 0.5)
+                e_r, e_g, e_b = env_radiance(cdx, cdy, cdz, misse)
+                lr = lr + jnp.where(misse, cwx * e_r, 0.0)
+                lg = lg + jnp.where(misse, cwy * e_g, 0.0)
+                lb = lb + jnp.where(misse, cwz * e_b, 0.0)
+        elif mc.env:
             misse = cact & (~hitv) & ((it == 0) | (cenv_f > 0.5))
             e_r, e_g, e_b = env_radiance(cdx, cdy, cdz, misse)
             lr = lr + jnp.where(misse, cwx * e_r, 0.0)
@@ -1649,8 +1766,28 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         # tangent-space normal map (mesh.cpp:264-275; GetTransformedNormal,
         # helperMath.cpp:86-108): sampled rgb/127.5-1 mapped through the
         # per-face TBN columns carried by the trace fold
+        if mc.has_tbn and (mc.img_normal or mc.img_bump):
+            # TBN frame: identity scenes carry the precomposed world TBN
+            # and map against the world normal; tbn_obj scenes (round 5)
+            # carry object-space TBN + object normal + per-entity M^-T and
+            # transform the mapped normal themselves (mesh.cpp:264-357 +
+            # surface_at's nrm_mat transform)
+            if mc.tbn_obj:
+                (tnx, tny, tnz, tbx, tby, tbz, onx, ony, onz,
+                 i00, i01, i02, i10, i11, i12, i20, i21, i22) = hittbn
+
+                def tbn_world(ax_, ay_, az_):
+                    return norm3(i00 * ax_ + i01 * ay_ + i02 * az_,
+                                 i10 * ax_ + i11 * ay_ + i12 * az_,
+                                 i20 * ax_ + i21 * ay_ + i22 * az_)
+            else:
+                tnx, tny, tnz, tbx, tby, tbz = hittbn
+                onx, ony, onz = nx, ny, nz
+
+                def tbn_world(ax_, ay_, az_):
+                    return norm3(ax_, ay_, az_)
+
         if mc.img_normal:
-            tnx, tny, tnz, tbx, tby, tbz = hittbn
             for ti_ in mc.img_normal:
                 m_ = nm_f == float(ti_)
                 if _tex_is_big(ti_):
@@ -1659,9 +1796,10 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
                     sr, sg, sb = img_sample(ti_, uu, vv, raw=True)
                 sxn, syn, szn = norm3(sr / 127.5 - 1.0, sg / 127.5 - 1.0,
                                       sb / 127.5 - 1.0)
-                mpx, mpy, mpz = norm3(tnx * sxn + tbx * syn + nx * szn,
-                                      tny * sxn + tby * syn + ny * szn,
-                                      tnz * sxn + tbz * syn + nz * szn)
+                mpx, mpy, mpz = tbn_world(
+                    tnx * sxn + tbx * syn + onx * szn,
+                    tny * sxn + tby * syn + ony * szn,
+                    tnz * sxn + tbz * syn + onz * szn)
                 nx = jnp.where(m_, mpx, nx)
                 ny = jnp.where(m_, mpy, ny)
                 nz = jnp.where(m_, mpz, nz)
@@ -1670,7 +1808,6 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         # differences on mean-channel greyscale; skipped where a normal map
         # already fired (shading.py::_apply_bump_normal_maps)
         if mc.img_bump:
-            tnx, tny, tnz, tbx, tby, tbz = hittbn
             for ti_ in mc.img_bump:
                 meta_b = _tex_meta(ti_)
                 iwd, ihd, bf = meta_b[2], meta_b[3], meta_b[6]
@@ -1690,24 +1827,29 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
                     h_uv = img_grey_at(ti_, iw_, jh_)
                     h_du = img_grey_at(ti_, i1, jh_)
                     h_dv = img_grey_at(ti_, iw_, j1)
-                qux = tnx + nx * ((h_du - h_uv) * bf)
-                quy = tny + ny * ((h_du - h_uv) * bf)
-                quz = tnz + nz * ((h_du - h_uv) * bf)
-                qvx = tbx + nx * ((h_dv - h_uv) * bf)
-                qvy = tby + ny * ((h_dv - h_uv) * bf)
-                qvz = tbz + nz * ((h_dv - h_uv) * bf)
+                # the height-field cross + orientation fixups run in the
+                # TBN's own space (object for tbn_obj, ==world for
+                # identity — mesh.cpp:310-357 does it in object space)
+                qux = tnx + onx * ((h_du - h_uv) * bf)
+                quy = tny + ony * ((h_du - h_uv) * bf)
+                quz = tnz + onz * ((h_du - h_uv) * bf)
+                qvx = tbx + onx * ((h_dv - h_uv) * bf)
+                qvy = tby + ony * ((h_dv - h_uv) * bf)
+                qvz = tbz + onz * ((h_dv - h_uv) * bf)
                 nix, niy, niz = norm3(qvy * quz - qvz * quy,
                                       qvz * qux - qvx * quz,
                                       qvx * quy - qvy * qux)
                 # orientation fixups (mesh.cpp:345-354)
-                flip1 = ((nix * nx <= 0) & (niy * ny <= 0)
-                         & (niz * nz <= 0))
-                flip2 = ((jnp.abs(nix - nx) > 0.9) | (jnp.abs(niy - ny) > 0.9)
-                         | (jnp.abs(niz - nz) > 0.9))
+                flip1 = ((nix * onx <= 0) & (niy * ony <= 0)
+                         & (niz * onz <= 0))
+                flip2 = ((jnp.abs(nix - onx) > 0.9)
+                         | (jnp.abs(niy - ony) > 0.9)
+                         | (jnp.abs(niz - onz) > 0.9))
                 flip = flip1 | flip2
                 nix = jnp.where(flip, -nix, nix)
                 niy = jnp.where(flip, -niy, niy)
                 niz = jnp.where(flip, -niz, niz)
+                nix, niy, niz = tbn_world(nix, niy, niz)
                 m_ = tb_f == float(ti_)
                 if mc.img_normal:
                     m_ = m_ & (nm_f < 0.0)
@@ -2409,7 +2551,7 @@ def _pad_rows(x, n):
 
 def mega_trace_flat(mc: MegaConsts, tri_tab, chunk_tab, o, d,
                     interpret: bool = False, seed=0, rng_key=None,
-                    img_tab=None):
+                    img_tab=None, pix_uv=None):
     """Radiance for rays o/d (R,3) via the fused kernel, returned as three
     flat (R,) component arrays — flat layouts tile perfectly on TPU, while
     (R,3) arrays pad the minor dim 3 -> 128.
@@ -2471,6 +2613,13 @@ def mega_trace_flat(mc: MegaConsts, tri_tab, chunk_tab, o, d,
         assert big_tab is not None, "big-textured mc needs its big table"
         extra_in.append(big_tab)
         extra_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    if mc.bg_tex >= 0:
+        # replace_background decal: per-ray pixel-uv planes
+        # (texture.h:49-52 — u = px/width, v = py/height)
+        assert pix_uv is not None, "bg-textured mc needs its pixel uv"
+        for arr in pix_uv:
+            extra_in.append(_pad_rows(arr, r_pad).reshape(n_rows, LANES))
+            extra_specs.append(ray_spec)
 
     scratch_shapes = []
     if mc.stream_geo:
@@ -2499,8 +2648,9 @@ def mega_trace_flat(mc: MegaConsts, tri_tab, chunk_tab, o, d,
 
 @functools.partial(jax.jit, static_argnames=("mc", "interpret"))
 def mega_trace(mc: MegaConsts, tri_tab, chunk_tab, o, d,
-               interpret: bool = False, seed=0, rng_key=None, img_tab=None):
+               interpret: bool = False, seed=0, rng_key=None, img_tab=None,
+               pix_uv=None):
     """(R,3) radiance via the fused kernel (see mega_trace_flat)."""
     lx, ly, lz = mega_trace_flat(mc, tri_tab, chunk_tab, o, d, interpret,
-                                 seed, rng_key, img_tab)
+                                 seed, rng_key, img_tab, pix_uv)
     return jnp.stack([lx, ly, lz], axis=-1)

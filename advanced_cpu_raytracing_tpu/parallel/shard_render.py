@@ -99,10 +99,12 @@ def render_camera_sharded_mega(pack, cfg, cam_cfg, mesh=None, seed: int = 0,
             if kk is not None and n_cells > 1:
                 kd = jax.random.key_data(kk)
                 kseed = s_seed + kd.reshape(-1)[-1].astype(jnp.int32)
+            uv = ((px2 * (1.0 / w), py2 * (1.0 / h)) if mc.bg_tex >= 0
+                  else None)
             return mega_trace(mc, tri_tab, chunk_tab, o, d,
                               interpret=interpret, seed=kseed,
                               rng_key=(kk if mc.host_rng else None),
-                              img_tab=img_tab)
+                              img_tab=img_tab, pix_uv=uv)
 
         return _gaussian_multisample(trace, px_s, py_s, k_dev, n_cells)
 

@@ -155,6 +155,13 @@ def _render_image_mega(mc, tri_tab, chunk_tab, img_tab, cam, key, seed,
             lens = jnp.zeros((r, 2))
         return generate_rays(cam, px2, py2, lens, dof=cam.use_dof)
 
+    def pixuv(px2, py2):
+        # replace_background decal: u = px/width, v = py/height
+        # (integrator.py miss_col; texture.h:49-52)
+        if mc.bg_tex < 0:
+            return None
+        return (px2 * (1.0 / w), py2 * (1.0 / h))
+
     if n_cells <= 1:
         # single-sample fast path: keep per-channel arrays FLAT end to end
         # ((R,3) arrays pad the minor dim 3 -> 128 on TPU: 42x the memory
@@ -163,7 +170,7 @@ def _render_image_mega(mc, tri_tab, chunk_tab, img_tab, cam, key, seed,
         comps = mega_trace_flat(mc, tri_tab, chunk_tab, o, d,
                                 interpret=interpret, seed=seed,
                                 rng_key=(key if mc.host_rng else None),
-                                img_tab=img_tab)
+                                img_tab=img_tab, pix_uv=pixuv(px, py))
         if tiled:
             comps = [c[unperm] for c in comps]  # tile order -> scanline
         if as_ldr:
@@ -183,7 +190,7 @@ def _render_image_mega(mc, tri_tab, chunk_tab, img_tab, cam, key, seed,
         s_seed = seed + kd.reshape(-1)[-1].astype(jnp.int32)
         return mega_trace(mc, tri_tab, chunk_tab, o, d, interpret=interpret,
                           seed=s_seed, rng_key=(k if mc.host_rng else None),
-                          img_tab=img_tab)
+                          img_tab=img_tab, pix_uv=pixuv(px2, py2))
 
     col = jnp.transpose(  # (3, R): uniform host-side contract
         _gaussian_multisample(trace, px, py, key, n_cells))

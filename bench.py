@@ -100,6 +100,7 @@ def main_bwd() -> None:
         "spotareaml": "scenes/feat_spotareaml.xml",
         "pt": "scenes/feat_pt.xml",
         "ptrr": "scenes/feat_pt_rr.xml",
+        "ptspec": "scenes/feat_pt_spec.xml",
     }
     name = "conductors"
     if "--bwd-scene" in sys.argv:
@@ -117,11 +118,15 @@ def main_bwd() -> None:
     # fixed-trip differentiable wavefront (reverse-mode AD cannot cross
     # lax.while_loop); depth+2 iterations covers the specular/GI chains
     # (+ the RR floor when roulette extends them)
+    pt_spec = cam_opts.path_tracing and (
+        pack.static.has_mirror or pack.static.has_conductor
+        or pack.static.has_dielectric)
     opts = RenderOptions(max_depth=cfg.max_recursion_depth,
                          differentiable=True,
                          max_iters=cfg.max_recursion_depth + 2
                          + (RR_DEPTH_FLOOR if rr else 0),
                          stochastic_dielectric=pack.static.has_dielectric,
+                         stochastic_spec_gi=pt_spec,
                          path_tracing=cam_opts.path_tracing,
                          next_event_estimation=cam_opts.next_event_estimation,
                          importance_sampling=cam_opts.importance_sampling,

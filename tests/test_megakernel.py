@@ -515,14 +515,15 @@ def test_megakernel_perlin_textures(tmp_path):
 
 
 def test_megakernel_perlin_eligibility(tmp_path):
-    """Image textures, textured spheres, and transformed bump meshes stay on
-    the jnp fallback; the all-perlin mesh scene routes to the kernel."""
+    """Bump-textured spheres and transformed bump meshes stay on the jnp
+    fallback; diffuse-textured spheres route in-kernel since round 5, and
+    the all-perlin mesh scene routes to the kernel."""
     from advanced_cpu_raytracing_tpu.ops.pallas.megakernel import (
         mega_eligible as _me,
     )
     from advanced_cpu_raytracing_tpu.render.renderer import options_for_camera
 
-    # textured sphere (the feat_perlin scene) -> fallback
+    # diffuse-textured sphere -> in-kernel since round 5 (spherical UV)
     from tests.test_golden_features import CAM  # noqa: F401
 
     sphere_xml = PERLIN_SCENE.replace(
@@ -535,7 +536,18 @@ def test_megakernel_perlin_eligibility(tmp_path):
     p.write_text(sphere_xml)
     cfg = load_scene(str(p))
     pack = pack_scene(cfg)
-    assert not _me(pack.static, options_for_camera(cfg, cfg.cameras[0]), pack)
+    assert _me(pack.static, options_for_camera(cfg, cfg.cameras[0]), pack)
+
+    # BUMP-textured sphere -> still fallback (sphere tangent machinery,
+    # sphere.cpp:116-137)
+    bump_xml = sphere_xml.replace(
+        "<Sphere id=\"1\"><Material>2</Material><Textures>2</Textures>",
+        "<Sphere id=\"1\"><Material>2</Material><Textures>3</Textures>")
+    p.write_text(bump_xml)
+    cfg = load_scene(str(p))
+    pack = pack_scene(cfg)
+    assert not _me(pack.static, options_for_camera(cfg, cfg.cameras[0]),
+                   pack)
 
     # transformed bump mesh -> fallback (kernel bump needs identity normals)
     rot_xml = PERLIN_SCENE.replace(
@@ -760,8 +772,9 @@ def test_megakernel_image_texture_eligibility(tmp_path):
         "<DecalMode>replace_ks</DecalMode>",
         "<DecalMode>replace_normal</DecalMode>"))
 
-    # background-replace decal still falls back (no bg texture in-kernel)
-    assert not check(ok_png, lambda x: x.replace(
+    # background-replace decal routes in-kernel since round 5 (pixel-uv
+    # input planes)
+    assert check(ok_png, lambda x: x.replace(
         "<DecalMode>replace_ks</DecalMode>",
         "<DecalMode>replace_background</DecalMode>"))
 
@@ -1244,3 +1257,229 @@ def test_megakernel_big_env(tmp_path):
     assert (~hit).sum() > 200
     np.testing.assert_allclose(img_k[~hit], img_j[~hit], rtol=1e-5,
                                atol=1e-5)
+
+
+BG_SCENE = """<Scene>
+  <BackgroundColor>9 9 9</BackgroundColor>
+  <MaxRecursionDepth>2</MaxRecursionDepth>
+  <Cameras><Camera id="1">
+    <Position>0 0 3</Position><Gaze>0 0 -1</Gaze><Up>0 1 0</Up>
+    <NearPlane>-1 1 -0.75 0.75</NearPlane><NearDistance>1</NearDistance>
+    <ImageResolution>320 240</ImageResolution>
+    <ImageName>bg.png</ImageName>
+  </Camera></Cameras>
+  <Lights>
+    <AmbientLight>20 20 20</AmbientLight>
+    <PointLight id="1"><Position>0 2 3</Position>
+      <Intensity>300 300 300</Intensity></PointLight>
+  </Lights>
+  <Materials>
+    <Material id="1"><AmbientReflectance>1 1 1</AmbientReflectance>
+      <DiffuseReflectance>0.5 0.4 0.3</DiffuseReflectance>
+      <SpecularReflectance>0.2 0.2 0.2</SpecularReflectance>
+      <PhongExponent>12</PhongExponent></Material>
+  </Materials>
+  <Textures>
+    <Images><Image id="1">{img}</Image></Images>
+    <TextureMap id="1" type="image">
+      <DecalMode>replace_background</DecalMode><ImageId>1</ImageId>
+      <Interpolation>{interp}</Interpolation>
+    </TextureMap>
+  </Textures>
+  <VertexData>
+    -0.6 -0.6 0   0.6 -0.6 0   0.6 0.6 0   -0.6 0.6 0
+  </VertexData>
+  <Objects>
+    <Mesh id="1"><Material>1</Material><Faces>1 2 3  1 3 4</Faces></Mesh>
+  </Objects>
+</Scene>"""
+
+
+@pytest.mark.parametrize("interp", ["nearest", "bilinear"])
+def test_megakernel_bg_texture(tmp_path, interp):
+    """Round 5: the replace_background decal samples in-kernel at the
+    pixel-uv input planes on primary miss (texture.h:49-52) — a centered
+    quad leaves visible background all around; kernel == wavefront."""
+    from advanced_cpu_raytracing_tpu.ops.pallas.megakernel import (
+        build_mega as _bm,
+        mega_eligible as _me,
+        mega_trace as _mt,
+    )
+    from advanced_cpu_raytracing_tpu.render.renderer import options_for_camera
+
+    img = tmp_path / "bg.png"
+    _write_test_png(img, 37, 23, 8)
+    p = tmp_path / "bgscene.xml"
+    p.write_text(BG_SCENE.format(img=img, interp=interp))
+    cfg = load_scene(str(p))
+    pack = pack_scene(cfg)
+    assert pack.static.bg_tex >= 0
+    opts = options_for_camera(cfg, cfg.cameras[0])
+    assert _me(pack.static, opts, pack)
+    mc, tab, ctab, img_tab = _bm(pack, opts)
+    assert mc.bg_tex == int(pack.static.bg_tex)
+    cam = build_camera(cfg.cameras[0])
+    rng = np.random.default_rng(2)
+    n = 2048
+    px = jnp.asarray(rng.uniform(0, 320, n).astype(np.float32))
+    py = jnp.asarray(rng.uniform(0, 240, n).astype(np.float32))
+    o, d = cam_mod.generate_rays(cam, px, py, jnp.zeros((n, 2)), dof=False)
+    l_mega = np.asarray(_mt(mc, tab, ctab, o, d, interpret=True,
+                            img_tab=img_tab,
+                            pix_uv=(px / 320.0, py / 240.0)))
+    l_jnp = np.asarray(trace_radiance(pack, cam, px, py,
+                                      jax.random.PRNGKey(0), opts))
+    diff = np.abs(l_mega - l_jnp)
+    assert np.mean(diff) < 0.01, np.mean(diff)
+    assert np.quantile(diff, 0.999) < 0.5, np.quantile(diff, 0.999)
+    # the background is actually textured (misses vary, not flat 9s)
+    assert np.std(l_mega, axis=0).max() > 1.0
+
+
+SPHERE_TEX_SCENE = """<Scene>
+  <BackgroundColor>2 2 2</BackgroundColor>
+  <MaxRecursionDepth>2</MaxRecursionDepth>
+  <Cameras><Camera id="1">
+    <Position>0 0 3</Position><Gaze>0 0 -1</Gaze><Up>0 1 0</Up>
+    <NearPlane>-1 1 -0.75 0.75</NearPlane><NearDistance>1</NearDistance>
+    <ImageResolution>320 240</ImageResolution>
+    <ImageName>stex.png</ImageName>
+  </Camera></Cameras>
+  <Lights>
+    <AmbientLight>20 20 20</AmbientLight>
+    <PointLight id="1"><Position>2 3 3</Position>
+      <Intensity>500 500 500</Intensity></PointLight>
+  </Lights>
+  <Materials>
+    <Material id="1"><AmbientReflectance>1 1 1</AmbientReflectance>
+      <DiffuseReflectance>0.5 0.4 0.3</DiffuseReflectance>
+      <SpecularReflectance>0.3 0.3 0.3</SpecularReflectance>
+      <PhongExponent>15</PhongExponent></Material>
+  </Materials>
+  <Textures>
+    <Images><Image id="1">{img}</Image></Images>
+    <TextureMap id="1" type="image">
+      <DecalMode>{decal}</DecalMode><ImageId>1</ImageId>
+      <Interpolation>{interp}</Interpolation>
+    </TextureMap>
+    <TextureMap id="2" type="perlin">
+      <DecalMode>replace_ks</DecalMode>
+      <NoiseScale>4</NoiseScale>
+      <NoiseConversion>absval</NoiseConversion>
+    </TextureMap>
+  </Textures>
+  <VertexData>
+    0 0 0   -2 -1.2 -1   2 -1.2 -1   0 1.4 -1
+  </VertexData>
+  <Objects>
+    <Mesh id="1"><Material>1</Material>
+      <Faces>2 3 4</Faces></Mesh>
+    <Sphere id="1"><Material>1</Material><Textures>{tex}</Textures>
+      <Center>1</Center><Radius>0.8</Radius></Sphere>
+  </Objects>
+</Scene>"""
+
+
+@pytest.mark.parametrize("decal,interp,tex", [
+    ("replace_kd", "nearest", "1 2"),
+    ("blend_kd", "bilinear", "1"),
+    ("replace_all", "bilinear", "1"),
+])
+def test_megakernel_sphere_textures(tmp_path, decal, interp, tex):
+    """Round 5: sphere textures in-kernel — spherical UV from the local
+    hit point via the atan2/acos polynomials (sphere.cpp:138-167;
+    surface_at's formula), the winning sphere's static texture slots, and
+    perlin replace_ks on the same sphere; kernel == wavefront."""
+    from advanced_cpu_raytracing_tpu.ops.pallas.megakernel import (
+        build_mega as _bm,
+        mega_eligible as _me,
+        mega_trace as _mt,
+    )
+    from advanced_cpu_raytracing_tpu.render.renderer import options_for_camera
+
+    img = tmp_path / "stex.png"
+    _write_test_png(img, 48, 31, 9)
+    p = tmp_path / "spherescene.xml"
+    p.write_text(SPHERE_TEX_SCENE.format(img=img, decal=decal,
+                                         interp=interp, tex=tex))
+    cfg = load_scene(str(p))
+    pack = pack_scene(cfg)
+    opts = options_for_camera(cfg, cfg.cameras[0])
+    assert _me(pack.static, opts, pack)
+    mc, tab, ctab, img_tab = _bm(pack, opts)
+    assert any(s >= 0 for t in mc.sph_tex for s in t)
+    cam = build_camera(cfg.cameras[0])
+    rng = np.random.default_rng(4)
+    n = 2048
+    px = jnp.asarray(rng.uniform(0, 320, n).astype(np.float32))
+    py = jnp.asarray(rng.uniform(0, 240, n).astype(np.float32))
+    o, d = cam_mod.generate_rays(cam, px, py, jnp.zeros((n, 2)), dof=False)
+    l_mega = np.asarray(_mt(mc, tab, ctab, o, d, interpret=True,
+                            img_tab=img_tab))
+    l_jnp = np.asarray(trace_radiance(pack, cam, px, py,
+                                      jax.random.PRNGKey(0), opts))
+    diff = np.abs(l_mega - l_jnp)
+    # the polynomial atan2/acos UV differs from libm by ~1e-7 rad; a
+    # nearest-texel flip at a cell boundary can move one lane a full
+    # texel, so compare means + a generous tail quantile
+    assert np.mean(diff) < 0.05, np.mean(diff)
+    assert np.quantile(diff, 0.99) < 1.0, np.quantile(diff, 0.99)
+    # the sphere is actually textured (its pixels vary)
+    assert np.std(l_mega, axis=0).max() > 1.0
+
+
+def test_megakernel_transformed_normal_bump(tmp_path):
+    """Round 5: normal/bump-mapped meshes with NON-identity transforms run
+    in-kernel — object-space TBN columns + per-entity M^-T columns
+    (tbn_obj), matching the reference's object-space mapping
+    (mesh.cpp:264-357) as implemented by the wavefront."""
+    from advanced_cpu_raytracing_tpu.ops.pallas.megakernel import (
+        build_mega as _bm,
+        mega_eligible as _me,
+        mega_trace as _mt,
+    )
+    from advanced_cpu_raytracing_tpu.render.renderer import options_for_camera
+
+    img1 = tmp_path / "nm.png"
+    img2 = tmp_path / "bump.png"
+    _write_test_png(img1, 16, 16, 5)
+    _write_test_png(img2, 33, 7, 6)
+    xml = MAPS_SCENE.format(img1=img1, img2=img2)
+    # non-uniform scale + axis-aligned rotation on the bump floor and the
+    # normal-mapped wall (the parser supports axis-aligned rotations only)
+    xml = xml.replace(
+        "<Objects>",
+        """<Transformations>
+    <Scaling id="1">1.4 0.8 1.1</Scaling>
+    <Rotation id="1">25 0 1 0</Rotation>
+  </Transformations>
+  <Objects>""")
+    xml = xml.replace(
+        '<Mesh id="1"><Material>1</Material>',
+        '<Mesh id="1"><Material>1</Material>'
+        '<Transformations>s1</Transformations>')
+    xml = xml.replace(
+        '<Mesh id="2"><Material>2</Material>',
+        '<Mesh id="2"><Material>2</Material>'
+        '<Transformations>r1</Transformations>')
+    p = tmp_path / "tbnobj.xml"
+    p.write_text(xml)
+    cfg = load_scene(str(p))
+    pack = pack_scene(cfg)
+    opts = options_for_camera(cfg, cfg.cameras[0])
+    assert _me(pack.static, opts, pack)
+    mc, tab, ctab, img_tab = _bm(pack, opts)
+    assert mc.has_tbn and mc.tbn_obj and tab.shape[1] >= 48
+    cam = build_camera(cfg.cameras[0])
+    rng = np.random.default_rng(14)
+    n = 2048
+    px = jnp.asarray(rng.uniform(0, 320, n).astype(np.float32))
+    py = jnp.asarray(rng.uniform(0, 240, n).astype(np.float32))
+    o, d = cam_mod.generate_rays(cam, px, py, jnp.zeros((n, 2)), dof=False)
+    l_mega = np.asarray(_mt(mc, tab, ctab, o, d, interpret=True,
+                            img_tab=img_tab))
+    l_jnp = np.asarray(trace_radiance(pack, cam, px, py,
+                                      jax.random.PRNGKey(0), opts))
+    diff = np.abs(l_mega - l_jnp)
+    assert np.mean(diff) < 0.02, np.mean(diff)
+    assert np.quantile(diff, 0.995) < 1.0, np.quantile(diff, 0.995)

@@ -9,13 +9,17 @@ dispatches over the full frame.
 
 Identifiability: diffuse shading constrains only the PRODUCT
 k_diffuse * intensity (the albedo/illumination gauge ambiguity — only
-specular-highlight pixels see intensity alone), so per-field recovery
-errors are reported alongside the identifiable product error and the
-image PSNR; vertex positions are fully identifiable and use a ~30x
-smaller Adam step (see the multi_transform note below).
+specular-highlight pixels see intensity alone).  The default scene
+(``--scene gauge``, round 5) BREAKS the gauge with a known (unoptimized)
+directional anchor light — see ``gauge_broken_scene`` — so mat_diffuse
+and pl_intensity recover individually; ``--scene conductors`` reproduces
+the original single-light run where only the product identifies.  Vertex
+positions are fully identifiable and use a ~30x smaller Adam step (see
+the multi_transform note below).
 
 Run alone on the TPU (one process at a time):
     python tools/inverse_render.py [--steps N] [--spp S] [--res W]
+        [--scene {gauge,conductors}]
 Prints per-step losses and a summary line; writes the convergence record
 to tools/artifacts/inverse_render.json.
 """
@@ -49,6 +53,30 @@ SCENE = "/root/reference/archive/hw1_inputs/cornellbox_recursive_conductors.xml"
 FIELDS = ("mat_diffuse", "pl_intensity", "verts")
 
 
+def gauge_broken_scene() -> str:
+    """Author the GAUGE-BROKEN inverse scene (round 5, VERDICT r4 item 4).
+
+    Diffuse shading constrains only the product kd * intensity: scaling
+    every optimized albedo by alpha and every optimized light by 1/alpha
+    preserves all diffuse pixels, so the single-light conductors run could
+    only recover the product.  Adding a DirectionalLight with KNOWN
+    (unoptimized) radiance anchors the albedos absolutely — kd is pinned
+    by the known-light term, and the point-light intensity then separates.
+    The scene is the cornellbox-conductors XML plus that one anchor light,
+    authored at runtime (no reference file is copied into the repo)."""
+    xml = pathlib.Path(SCENE).read_text()
+    anchor = """<DirectionalLight id="1">
+            <Direction>0.35 -1 -0.45</Direction>
+            <Radiance>4000 4000 4000</Radiance>
+        </DirectionalLight>
+    """
+    assert "DirectionalLight" not in xml
+    xml = xml.replace("</Lights>", anchor + "</Lights>")
+    out = pathlib.Path("/tmp/acrt_inverse_gauge.xml")
+    out.write_text(xml)
+    return str(out)
+
+
 def main() -> int:
     def arg(flag, default, cast):
         return cast(sys.argv[sys.argv.index(flag) + 1]) \
@@ -58,9 +86,11 @@ def main() -> int:
     spp = arg("--spp", 4, int)
     res = arg("--res", 800, int)
     lr = arg("--lr", 5e-3, float)
+    variant = arg("--scene", "gauge", str)
     interpret = jax.default_backend() != "tpu"
 
-    cfg = load_scene(SCENE)
+    scene_path = SCENE if variant == "conductors" else gauge_broken_scene()
+    cfg = load_scene(scene_path)
     pack = pack_scene(cfg)
     cam_cfg = cfg.cameras[0]
     cam = build_camera(cam_cfg)
@@ -179,7 +209,12 @@ def main() -> int:
     psnr = 10.0 * np.log10(255.0 ** 2 / max(mse, 1e-12))
 
     summary = {
-        "scene": "cornellbox_recursive_conductors",
+        "scene": ("cornellbox_recursive_conductors" if variant == "conductors"
+                  else "conductors + known directional anchor (gauge-broken)"),
+        "gauge": ("ambiguous (single optimized light)"
+                  if variant == "conductors"
+                  else "broken: known DirectionalLight anchors albedo, so "
+                       "mat_diffuse and pl_intensity separate"),
         "resolution": [res, res],
         "spp": spp,
         "steps": steps,
@@ -194,7 +229,9 @@ def main() -> int:
         "image_psnr_db": round(psnr, 2),
     }
     print(json.dumps(summary), flush=True)
-    out = pathlib.Path(__file__).parent / "artifacts" / "inverse_render.json"
+    name = ("inverse_render.json" if variant == "conductors"
+            else "inverse_render_gauge.json")
+    out = pathlib.Path(__file__).parent / "artifacts" / name
     out.parent.mkdir(exist_ok=True)
     out.write_text(json.dumps(summary, indent=1))
     return 0

@@ -120,6 +120,7 @@ def main() -> int:
             ("spotareaml", repo / "scenes" / "feat_spotareaml.xml"),
             ("pt", repo / "scenes" / "feat_pt.xml"),
             ("ptrr", repo / "scenes" / "feat_pt_rr.xml"),
+            ("ptspec", repo / "scenes" / "feat_pt_spec.xml"),
         ]
         keys = ("mat_ambient", "mat_diffuse", "mat_specular", "mat_mirror",
                 "mat_phong", "mat_radiance", "pl_intensity", "dl_radiance",
@@ -160,10 +161,14 @@ def main() -> int:
             from advanced_cpu_raytracing_tpu.render.integrator import (
                 RR_DEPTH_FLOOR,
             )
+            pt_spec = opts.path_tracing and (
+                pack.static.has_mirror or pack.static.has_conductor
+                or pack.static.has_dielectric)
             d_opts = RenderOptions(
                 max_depth=opts.max_depth, differentiable=True,
                 max_iters=opts.max_depth + 2 + (RR_DEPTH_FLOOR if rr else 0),
                 stochastic_dielectric=pack.static.has_dielectric,
+                stochastic_spec_gi=pt_spec,
                 path_tracing=opts.path_tracing,
                 next_event_estimation=opts.next_event_estimation,
                 importance_sampling=opts.importance_sampling,
