@@ -70,7 +70,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from advanced_cpu_raytracing_tpu.scene.types import MaterialType
+from advanced_cpu_raytracing_tpu.scene.types import DecalMode, MaterialType
 
 # Kept equal to integrator.RR_DEPTH_FLOOR (estimator semantics); asserted
 # in build_bwd_consts so a drift breaks loudly instead of desynchronizing
@@ -97,10 +97,19 @@ _C_BASE = 27
 
 
 def _c_of(bc) -> int:
+    # + texture streams (round 5): 4 tap keys + 4 taps x rgb cotangents
+    return _C_BASE + 10 * len(bc.mlights) + (16 if any(bc.tex) else 0)
+
+
+def _tex_stream_base(bc) -> int:
     return _C_BASE + 10 * len(bc.mlights)
 # epilogue one-hot sizes: tri-table rows and materials
 _BWD_MAX_ROWS = 4096
 _BWD_MAX_MATS = 32
+# differentiable-texture budget (round 5): total texels across the scene's
+# diffuse textures; texel cotangents reduce on the MXU via the same
+# one-hot pattern as tri rows, keyed by global texel index
+_BWD_MAX_TEXELS = 4096
 
 
 @dataclass(frozen=True)
@@ -140,6 +149,14 @@ class BwdConsts:
     # weight (integrator.py stochastic_spec_gi) — the chain stays linear;
     # each segment runs TWO traces (continuation + GI), merged lane-wise
     pt_spec: bool = False
+    # differentiable image textures (round 5): per texture index, () or
+    # (interp, blend, w, h, n_rows, row0, flat0, img) into the TRACED
+    # texel table (three channel blocks per image, row-masked gather);
+    # texel cotangents stream back keyed by flat0 + j*w + i and reduce on
+    # the MXU — "differentiable w.r.t. ... textures" (BASELINE.json)
+    tex: tuple = ()
+    n_texels: int = 0
+    tex_rows: int = 0
 
 
 def bc_depth(bc) -> int:
@@ -162,10 +179,15 @@ def bwd_eligible(static, opts, pack=None) -> bool:
     pt_ok = (not opts.path_tracing) or (
         not opts.russian_roulette
         or opts.max_depth + RR_DEPTH_FLOOR <= 12)
+    # round 5: diffuse image textures are differentiable leaves (the texel
+    # table is a traced input; cotangents stream per tap) — small images,
+    # replace_kd/blend_kd decals, mesh-attached only
+    tex_ok = static.n_textures == 0 or (
+        pack is not None and _bwd_tex_ok(static, pack))
     return (
         pt_ok
         and opts.max_depth <= 8
-        and static.n_textures == 0
+        and tex_ok
         and static.n_env == 0
         and ml_ok
         and not static.has_motion
@@ -181,6 +203,36 @@ def bwd_eligible(static, opts, pack=None) -> bool:
              (0 < static.n_work_items <= _BWD_MAX_ROWS))
         and (static.n_work_items > 0 or static.n_spheres > 0)
     )
+
+
+def _bwd_tex_ok(static, pack) -> bool:
+    """Differentiable-texture gate: image kind, diffuse decals
+    (replace_kd / blend_kd), <= _BWD_MAX_TEXELS total, mesh-attached, no
+    bg decal.  Everything else keeps the jnp wavefront."""
+    if static.n_textures > 4:
+        return False
+    if getattr(static, "bg_tex", -1) >= 0:
+        return False
+    kind = np.asarray(pack.tex_kind)
+    decal = np.asarray(pack.tex_decal)
+    ok = {int(DecalMode.REPLACE_KD), int(DecalMode.BLEND_KD)}
+    total = 0
+    seen = set()
+    for i in range(static.n_textures):
+        if kind[i] != 0 or int(decal[i]) not in ok:
+            return False
+        img = int(np.asarray(pack.tex_img)[i])
+        if img < 0:
+            return False
+        if img not in seen:
+            seen.add(img)
+            total += int(np.asarray(pack.img_w)[img]) \
+                * int(np.asarray(pack.img_h)[img])
+    if total > _BWD_MAX_TEXELS:
+        return False
+    if static.n_spheres and (np.asarray(pack.sph_tex) >= 0).any():
+        return False
+    return True
 
 
 def build_bwd_consts(pack, opts, with_bwd: bool) -> BwdConsts:
@@ -239,6 +291,32 @@ def build_bwd_consts(pack, opts, with_bwd: bool) -> BwdConsts:
                 (int(rw), float(tri_area_np[wi_face_np[rw]]
                                 / max(area, 1e-20)))
                 for rw in rows))
+    # differentiable textures (round 5): channel-block layout per image
+    # (R rows, G rows, B rows at [row0, row0+3*n_rows)), global texel key
+    # = flat0 + j*w + i; images shared by several textures pack once
+    tex_entries: list = []
+    n_texels = 0
+    tex_rows = 0
+    if st.n_textures and _bwd_tex_ok(st, pack):
+        interp_np = np.asarray(pack.tex_interp)
+        decal_np = np.asarray(pack.tex_decal)
+        timg = np.asarray(pack.tex_img)
+        img_info: dict = {}
+        for i in range(st.n_textures):
+            img = int(timg[i])
+            iw = int(np.asarray(pack.img_w)[img])
+            ih = int(np.asarray(pack.img_h)[img])
+            nr = -(-(iw * ih) // LANES)
+            if img not in img_info:
+                img_info[img] = (tex_rows, n_texels)
+                tex_rows += 3 * nr
+                n_texels += iw * ih
+            r0, f0 = img_info[img]
+            tex_entries.append((
+                int(interp_np[i]),
+                int(int(decal_np[i]) == int(DecalMode.BLEND_KD)),
+                iw, ih, nr, r0, f0, img))
+
     return BwdConsts(
         n_tri=st.n_work_items, n_mat=st.n_materials, mat_types=mat_types,
         cond_nk=cond_nk, diel_abs=diel_abs, spheres=spheres,
@@ -260,6 +338,9 @@ def build_bwd_consts(pack, opts, with_bwd: bool) -> BwdConsts:
         pt_spec=bool(opts.path_tracing
                      and (st.has_mirror or st.has_conductor
                           or st.has_dielectric)),
+        tex=tuple(tex_entries),
+        n_texels=n_texels,
+        tex_rows=tex_rows,
     )
 
 
@@ -350,6 +431,9 @@ def _kernel(*refs, bc: BwdConsts):
     if bc.pt:
         ugi_ref = refs[idx]
         idx += 1
+    if any(bc.tex):
+        tex_ref = refs[idx]  # TRACED texel table (channel blocks, round 5)
+        idx += 1
     outs = refs[idx:]
     if bc.with_bwd:
         (lx_ref, ly_ref, lz_ref, stream_ref, smalls_ref,
@@ -375,6 +459,13 @@ def _kernel(*refs, bc: BwdConsts):
         safe = jnp.where(pos, base, 1.0)
         val = jnp.exp(e * jnp.log(safe))
         return jnp.where(pos, val, jnp.where(e == 0.0, 1.0, 0.0))
+
+    def _tile_uv(x):
+        """UV tiling (ops/texture.py::tile_uv; mesh.cpp:382-389).
+        Differentiable a.e. (grad 1 through x - floor(x))."""
+        frac = x - jnp.floor(x)
+        frac = jnp.where(frac < 0.0001, 1.0, frac)
+        return jnp.where(x > 1.0001, frac, x)
 
     def onb(nx, ny, nz):
         """Axis-swap orthonormal basis (GetOrthonormalBasis,
@@ -446,7 +537,7 @@ def _kernel(*refs, bc: BwdConsts):
         t = (e1x * q0 - e1y * q1 + e1z * q2) / safe
         valid = ((det_a != 0.0) & (beta >= 0.0) & (gamma >= 0.0)
                  & (beta + gamma <= 1.0) & (t > 0.0))
-        return t, valid
+        return t, valid, beta, gamma
 
     def sphere_local(s, px, py, pz, is_point):
         m = s[0]
@@ -543,8 +634,12 @@ def _kernel(*refs, bc: BwdConsts):
 
         return jax.lax.fori_loop(0, n_chunks, chunk_body, init)
 
+    has_dtex = any(bc.tex)
+
     def trace(px, py, pz, vx, vy, vz, active):
-        """Closest hit carrying the winner's vertices + table row.
+        """Closest hit carrying the winner's vertices + table row (+ the
+        diffuse-texture slot, interpolated UV and per-vertex UVs for
+        differentiable-texture scenes, round 5).
 
         Returns dict of stored (stop-grad) facts for one chain segment."""
         neg1 = jnp.full(shape, -1.0)
@@ -552,21 +647,36 @@ def _kernel(*refs, bc: BwdConsts):
                 ZERO, ZERO, ONE,  # n (tri const normal)
                 ZERO,  # matf
                 ZERO, ZERO, ZERO, ZERO, ZERO, ZERO, ZERO, ZERO, ZERO)  # v9
+        if has_dtex:
+            # td slot + interpolated uv + uv012 (tri cols 19, 24:30)
+            init = init + (neg1, ZERO, ZERO) + (ZERO,) * 6
 
         def body(ti, carry):
             t_b = carry[0]
-            t, valid = tri_hit(ti, px, py, pz, vx, vy, vz)
+            t, valid, beta, gamma = tri_hit(ti, px, py, pz, vx, vy, vz)
             better = valid & (t < t_b)
 
             def sel(cur, new):
                 return jnp.where(better, new, cur)
 
-            return (sel(t_b, t), sel(carry[1], ti.astype(jnp.float32)),
-                    sel(carry[2], tri_ref[ti, 9]),
-                    sel(carry[3], tri_ref[ti, 10]),
-                    sel(carry[4], tri_ref[ti, 11]),
-                    sel(carry[5], tri_ref[ti, 12])) + tuple(
+            out = (sel(t_b, t), sel(carry[1], ti.astype(jnp.float32)),
+                   sel(carry[2], tri_ref[ti, 9]),
+                   sel(carry[3], tri_ref[ti, 10]),
+                   sel(carry[4], tri_ref[ti, 11]),
+                   sel(carry[5], tri_ref[ti, 12])) + tuple(
                 sel(carry[6 + j], tri_ref[ti, j]) for j in range(9))
+            if has_dtex:
+                u0 = tri_ref[ti, 24]
+                v0 = tri_ref[ti, 25]
+                ui = u0 + beta * (tri_ref[ti, 26] - u0) \
+                    + gamma * (tri_ref[ti, 28] - u0)
+                vi = v0 + beta * (tri_ref[ti, 27] - v0) \
+                    + gamma * (tri_ref[ti, 29] - v0)
+                out = out + (sel(carry[15], tri_ref[ti, 19]),
+                             sel(carry[16], ui), sel(carry[17], vi)) \
+                    + tuple(sel(carry[18 + j], tri_ref[ti, 24 + j])
+                            for j in range(6))
+            return out
 
         if bc.n_tri > 0:
             init = chunk_sweep(px, py, pz, vx, vy, vz, body, init,
@@ -584,8 +694,15 @@ def _kernel(*refs, bc: BwdConsts):
             sphf = jnp.where(better, float(si), sphf)
             matf = jnp.where(better, float(s[4]), matf)
         hit = t_b < (BIG * 0.5)
-        return dict(t0=t_b, row=row, sphf=sphf, matf=matf, hit=hit,
-                    n_tri=(nx, ny, nz), v9=v9)
+        st_ = dict(t0=t_b, row=row, sphf=sphf, matf=matf, hit=hit,
+                   n_tri=(nx, ny, nz), v9=v9)
+        if has_dtex:
+            # eligible spheres are untextured (_bwd_tex_ok); a sphere
+            # winner overwrote row with -1 but the td slot must clear too
+            st_["td"] = jnp.where(st_["row"] >= 0.0, init[15], -1.0)
+            st_["tex_uv"] = (init[16], init[17])
+            st_["uv012"] = tuple(init[18:24])
+        return st_
 
     def merge_st(m, a, b):
         """Lane-wise trace-dict select: ``a`` where ``m`` else ``b``
@@ -603,7 +720,7 @@ def _kernel(*refs, bc: BwdConsts):
 
     def shadow(px, py, pz, vx, vy, vz, limit, gate):
         def body(ti, blocked):
-            t, valid = tri_hit(ti, px, py, pz, vx, vy, vz)
+            t, valid = tri_hit(ti, px, py, pz, vx, vy, vz)[:2]
             if bc.has_emissive:
                 # CastShadowRay skips emissive meshes (raytracer.cpp:590-593)
                 valid = valid & (tri_ref[ti, 14] < 0.5)
@@ -658,7 +775,7 @@ def _kernel(*refs, bc: BwdConsts):
             is_sph = st["sphf"] >= 0.0
 
         def step(o3, d3, w3, v9, lv9s, kd3, ks3, amb3, mir3, phong, rad3,
-                 pls, dls, sls, als, mls, bgs):
+                 texv, pls, dls, sls, als, mls, bgs):
             ox_, oy_, oz_ = o3
             dx_, dy_, dz_ = d3
             wx_, wy_, wz_ = w3
@@ -696,6 +813,56 @@ def _kernel(*refs, bc: BwdConsts):
             pz = oz_ + t * dz_
             wox, woy, woz = -dx_, -dy_, -dz_
 
+            # differentiable texture modulation (round 5;
+            # diffuse_reflectance, raytracer.cpp:478-508): uv recomputed
+            # differentiably through the winner's barycentrics (verts
+            # gradients flow through uv exactly like the oracle's
+            # _gather_tri_uv -> sample_bilinear), texel VALUES are the
+            # ``texv`` leaves, bilinear weights differentiable, nearest
+            # taps stop-grad — the oracle's own semantics
+            if has_dtex:
+                beta_d = (bx * m0 - by * m1 + bz * m2) / safe
+                nn0 = by * dz_ - dy_ * bz
+                nn1 = bx * dz_ - dx_ * bz
+                nn2 = bx * dy_ - dx_ * by
+                gamma_d = (e1x * nn0 - e1y * nn1 + e1z * nn2) / safe
+                uv012 = st["uv012"]
+                u_d = _tile_uv(uv012[0] + beta_d * (uv012[2] - uv012[0])
+                               + gamma_d * (uv012[4] - uv012[0]))
+                v_d = _tile_uv(uv012[1] + beta_d * (uv012[3] - uv012[1])
+                               + gamma_d * (uv012[5] - uv012[1]))
+                td_f = st["td"]
+                kd_eff = list(kd3)
+                for ti_, meta in enumerate(bc.tex):
+                    if not meta:
+                        continue
+                    interp, blend, iw, ih, _nr, _r0, _f0, _img = meta
+                    m_t = td_f == float(ti_)
+                    if interp == 0:
+                        tap = [texv[0], texv[1], texv[2]]
+                    else:
+                        fw, fh = float(iw), float(ih)
+                        fi = jnp.clip(u_d * fw, 0.0, fw - 1.0)
+                        fj = jnp.clip(v_d * fh, 0.0, fh - 1.0)
+                        dxw = fi - jnp.floor(fi)
+                        dyw = fj - jnp.floor(fj)
+                        w00 = (1.0 - dxw) * (1.0 - dyw)
+                        w10 = dxw * (1.0 - dyw)
+                        w01 = (1.0 - dxw) * dyw
+                        w11 = dxw * dyw
+                        tap = [w00 * texv[c] + w10 * texv[3 + c]
+                               + w01 * texv[6 + c] + w11 * texv[9 + c]
+                               for c in range(3)]
+                    s_ = 1.0 / 255.0
+                    for c in range(3):
+                        val = tap[c] * s_
+                        if blend:
+                            val = (val + kd3[c]) * 0.5
+                        kd_eff[c] = jnp.where(m_t, val, kd_eff[c])
+                kd_eff = tuple(kd_eff)
+            else:
+                kd_eff = kd3
+
             # Beer's law at pop time (raytracer.cpp:416-423, folded in like
             # integrator.py:210-212): absorption constant chosen by the
             # PARENT segment's topology (stop-grad), t differentiable.
@@ -731,9 +898,9 @@ def _kernel(*refs, bc: BwdConsts):
                 hx, hy, hz = norm3(wix + wox, wiy + woy, wiz + woz)
                 cos_hm = jnp.maximum(0.0, hx * nx + hy * ny + hz * nz)
                 spec = powmax(cos_hm, phong)
-                return (kd3[0] * cos_t + ks3[0] * spec,
-                        kd3[1] * cos_t + ks3[1] * spec,
-                        kd3[2] * cos_t + ks3[2] * spec)
+                return (kd_eff[0] * cos_t + ks3[0] * spec,
+                        kd_eff[1] * cos_t + ks3[1] * spec,
+                        kd_eff[2] * cos_t + ks3[2] * spec)
 
             for i, lp in enumerate(bc.pl_pos):
                 tlx = lp[0] - px
@@ -1295,6 +1462,56 @@ def _kernel(*refs, bc: BwdConsts):
                 st["both"] = FALSE
                 cont_gi_prev = FALSE
 
+        # ---- differentiable textures (round 5): gather the winner's taps
+        # from the TRACED texel table.  Tap positions are stop-grad
+        # topology (like the nearest-texel index in shading.py); the texel
+        # VALUES become vjp leaves whose cotangents stream back keyed by
+        # global texel index.  Bilinear weights are recomputed
+        # differentiably in the step from the same uv facts. ----
+        texv_k: tuple = ()
+        if has_dtex:
+            uu_t = _tile_uv(st["tex_uv"][0])
+            vv_t = _tile_uv(st["tex_uv"][1])
+            td_f = st["td"]
+            idx_g = [jnp.full(shape, -1.0) for _ in range(4)]
+            val_g = [ZERO for _ in range(12)]
+            for ti_, meta in enumerate(bc.tex):
+                if not meta:
+                    continue
+                interp, _bl, iw, ih, nr, r0, f0, _img = meta
+                m = td_f == float(ti_)
+                fw, fh = float(iw), float(ih)
+                if interp == 0:  # sample_nearest index math
+                    i0 = jnp.clip((uu_t * fw).astype(jnp.int32), 0, iw - 1)
+                    j0 = jnp.clip((vv_t * fh).astype(jnp.int32), 0, ih - 1)
+                    taps = [(i0, j0)]
+                else:  # sample_bilinear index math
+                    fi = jnp.clip(uu_t * fw, 0.0, fw - 1.0)
+                    fj = jnp.clip(vv_t * fh, 0.0, fh - 1.0)
+                    p0 = jnp.floor(fi).astype(jnp.int32)
+                    q0 = jnp.floor(fj).astype(jnp.int32)
+                    p1 = jnp.minimum(p0 + 1, iw - 1)
+                    q1 = jnp.minimum(q0 + 1, ih - 1)
+                    taps = [(p0, q0), (p1, q0), (p0, q1), (p1, q1)]
+                for k_t, (ii, jj) in enumerate(taps):
+                    flat = jj * iw + ii
+                    idx_g[k_t] = jnp.where(
+                        m, (flat + f0).astype(jnp.float32), idx_g[k_t])
+                    lane = jnp.bitwise_and(flat, 127)
+                    rw = jnp.right_shift(flat, 7)
+                    for c in range(3):
+                        acc = ZERO
+                        for rr in range(nr):
+                            brow = jnp.broadcast_to(
+                                tex_ref[r0 + c * nr + rr:
+                                        r0 + c * nr + rr + 1, :], shape)
+                            g = jnp.take_along_axis(brow, lane, axis=1)
+                            acc = acc + jnp.where(rw == rr, g, 0.0)
+                        val_g[3 * k_t + c] = jnp.where(
+                            m, acc, val_g[3 * k_t + c])
+            st["tex_idx"] = tuple(idx_g)
+            texv_k = tuple(val_g)
+
         # per-lane selected material params (traced leaves for the step)
         kd3 = tuple(matsel(matf, 3 + c) for c in range(3))
         ks3 = tuple(matsel(matf, 6 + c) for c in range(3))
@@ -1306,8 +1523,8 @@ def _kernel(*refs, bc: BwdConsts):
 
         step = make_step(k, st)
         leaves = (o3, d3, w3, v9, tuple(lv9s_k), kd3, ks3, amb3, mir3,
-                  phong, rad3, pl_scal, dl_scal, sl_scal, al_scal, ml_scal,
-                  bg_scal)
+                  phong, rad3, texv_k, pl_scal, dl_scal, sl_scal, al_scal,
+                  ml_scal, bg_scal)
         out = step(*leaves)
         Lr = Lr + out[0]
         Lg = Lg + out[1]
@@ -1342,7 +1559,7 @@ def _kernel(*refs, bc: BwdConsts):
         _, vjp_fn = jax.vjp(lambda *ls: step(*ls), *leaves)
         cots = vjp_fn(tuple(gbar) + tuple(obar) + tuple(dbar) + tuple(wbar))
         (c_o3, c_d3, c_w3, c_v9, c_lv9s, c_kd, c_ks, c_amb, c_mir, c_phong,
-         c_rad, c_pl, c_dl, c_sl, c_al, c_ml, c_bg) = cots
+         c_rad, c_texv, c_pl, c_dl, c_sl, c_al, c_ml, c_bg) = cots
         obar, dbar, wbar = c_o3, c_d3, c_w3
         for j in range(3 * P):
             pl_bar[j] = pl_bar[j] + c_pl[j]
@@ -1373,6 +1590,12 @@ def _kernel(*refs, bc: BwdConsts):
             for j in range(9):
                 stream_ref[base + _C_BASE + 10 * i + 1 + j, :, :] = \
                     c_lv9s[i][j]
+        if any(bc.tex):
+            tb = base + _tex_stream_base(bc)
+            for j in range(4):
+                stream_ref[tb + j, :, :] = st["tex_idx"][j]
+            for j in range(12):
+                stream_ref[tb + 4 + j, :, :] = c_texv[j]
 
     box_ref[:, :] = obar[0]
     boy_ref[:, :] = obar[1]
@@ -1418,8 +1641,8 @@ def _pad_rows(x, n):
 
 
 def _bwd_call(bc: BwdConsts, tri_tab, chunk_tab, mat_tab, pl_tab, dl_tab,
-              sl_tab, al_tab, ml_tab, bg_tab, uab, uml, ud, ugi, o, d, gbar,
-              interpret: bool):
+              sl_tab, al_tab, ml_tab, bg_tab, tex_tab, uab, uml, ud, ugi,
+              o, d, gbar, interpret: bool):
     """Invoke the kernel.  gbar=None -> fwd-only variant.
 
     ``uab``/``uml``/``ud``/``ugi`` are the (D*n_area*2, r) / (D*n_ml*3, r)
@@ -1462,6 +1685,10 @@ def _bwd_call(bc: BwdConsts, tri_tab, chunk_tab, mat_tab, pl_tab, dl_tab,
         extra_specs.append(pl.BlockSpec(
             (np_, ROWS, LANES), lambda i: (0, i, 0),
             memory_space=pltpu.VMEM))
+    if any(bc.tex):
+        # TRACED differentiable texel table (round 5)
+        extra_in.append(tex_tab)
+        extra_specs.append(full)
 
     C = _c_of(bc)
     out_shape = [jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32)] * 3
@@ -1525,7 +1752,22 @@ def _reduce_streams(bc: BwdConsts, stream, n_tri: int, n_mat: int, D: int,
     # is needed beyond the cotangent values themselves
     d_mat = jnp.einsum("rm,rc->mc", oh_mat, dm, precision=hi,
                        preferred_element_type=jnp.float32)
-    return d_triw, d_mat
+    d_tex = None
+    if any(bc.tex):
+        # texel cotangents: 4 taps per lane per depth, keyed by global
+        # texel index (-1 on untextured taps matches no one-hot column)
+        tb = _tex_stream_base(bc)
+        keys = jnp.concatenate([
+            planes[:, tb + k_t, :].reshape(-1) for k_t in range(4)])
+        dvals = jnp.concatenate([
+            planes[:, tb + 4 + 3 * k_t:tb + 7 + 3 * k_t, :]
+            .transpose(0, 2, 1).reshape(-1, 3) for k_t in range(4)])
+        oh_tex = (keys[:, None]
+                  == jnp.arange(bc.n_texels, dtype=jnp.float32)[None]
+                  ).astype(jnp.float32)
+        d_tex = jnp.einsum("rt,rc->tc", oh_tex, dvals, precision=hi,
+                           preferred_element_type=jnp.float32)
+    return d_triw, d_mat, d_tex
 
 
 def make_diff_render(pack, opts, interpret: bool = False):
@@ -1577,6 +1819,27 @@ def make_diff_render(pack, opts, interpret: bool = False):
         ml_tab = (g("ml_radiance").reshape(-1, 3)[:Pm] if Pm
                   else jnp.zeros((1, 3), jnp.float32))
         bg_tab = g("bg_color").reshape(1, 3)
+        # differentiable texel table (round 5): channel blocks per image,
+        # built with pure jnp ops so AD maps table cotangents back to
+        # img_atlas automatically
+        if any(bc_f.tex):
+            atlas = g("img_atlas")
+            blocks = []
+            done = set()
+            for meta in bc_f.tex:
+                if not meta:
+                    continue
+                _i, _b, iw, ih, nr, _r0, _f0, img = meta
+                if img in done:
+                    continue
+                done.add(img)
+                flat = atlas[img, :ih, :iw, :].reshape(-1, 3)
+                flat = jnp.pad(flat, ((0, nr * 128 - iw * ih), (0, 0)))
+                for c in range(3):
+                    blocks.append(flat[:, c].reshape(nr, 128))
+            tex_tab = jnp.concatenate(blocks, axis=0)
+        else:
+            tex_tab = jnp.zeros((1, 128), jnp.float32)
         verts = g("verts")
         if w_items:
             # elementwise FMA, NOT einsum: TPU dots truncate f32 -> bf16,
@@ -1588,36 +1851,57 @@ def make_diff_render(pack, opts, interpret: bool = False):
         else:
             tri_w = jnp.zeros((tri_tab0.shape[0], 9), jnp.float32)
         return mat_tab, pl_tab, dl_tab, sl_tab, al_tab, ml_tab, bg_tab, \
-            tri_w
+            tri_w, tex_tab
 
     @jax.custom_vjp
     def render(mat_tab, pl_tab, dl_tab, sl_tab, al_tab, ml_tab, bg_tab,
-               tri_w, o, d, uab, uml, ud, ugi):
+               tri_w, tex_tab, o, d, uab, uml, ud, ugi):
         tri_tab = jnp.concatenate([tri_w, tri_rest], axis=1)
         outs, n_rows = _bwd_call(bc_f, tri_tab, chunk_tab, mat_tab, pl_tab,
                                  dl_tab, sl_tab, al_tab, ml_tab, bg_tab,
-                                 uab, uml, ud, ugi, o, d, None, interpret)
+                                 tex_tab, uab, uml, ud, ugi, o, d, None,
+                                 interpret)
         r = o.shape[0]
         return jnp.stack([x.reshape(-1)[:r] for x in outs[:3]], axis=-1)
 
     def render_fwd(mat_tab, pl_tab, dl_tab, sl_tab, al_tab, ml_tab, bg_tab,
-                   tri_w, o, d, uab, uml, ud, ugi):
+                   tri_w, tex_tab, o, d, uab, uml, ud, ugi):
         out = render(mat_tab, pl_tab, dl_tab, sl_tab, al_tab, ml_tab,
-                     bg_tab, tri_w, o, d, uab, uml, ud, ugi)
+                     bg_tab, tri_w, tex_tab, o, d, uab, uml, ud, ugi)
         return out, (mat_tab, pl_tab, dl_tab, sl_tab, al_tab, ml_tab,
-                     bg_tab, tri_w, o, d, uab, uml, ud, ugi)
+                     bg_tab, tri_w, tex_tab, o, d, uab, uml, ud, ugi)
 
     def render_bwd(res, gbar):
         (mat_tab, pl_tab, dl_tab, sl_tab, al_tab, ml_tab, bg_tab, tri_w,
-         o, d, uab, uml, ud, ugi) = res
+         tex_tab, o, d, uab, uml, ud, ugi) = res
         tri_tab = jnp.concatenate([tri_w, tri_rest], axis=1)
         outs, n_rows = _bwd_call(bc_b, tri_tab, chunk_tab, mat_tab, pl_tab,
                                  dl_tab, sl_tab, al_tab, ml_tab, bg_tab,
-                                 uab, uml, ud, ugi, o, d, gbar, interpret)
+                                 tex_tab, uab, uml, ud, ugi, o, d, gbar,
+                                 interpret)
         (_, _, _, stream, smalls, box, boy, boz, bdx, bdy, bdz) = outs
         r = o.shape[0]
-        d_triw, d_mat16 = _reduce_streams(bc_b, stream, w_items, n_mat,
-                                          D, r)
+        d_triw, d_mat16, d_tex = _reduce_streams(bc_b, stream, w_items,
+                                                 n_mat, D, r)
+        if any(bc_b.tex):
+            # texel grads -> table cotangent via the SAME channel-block
+            # layout tables() packs with (AD then maps it to img_atlas)
+            tblocks = []
+            done = set()
+            for meta in bc_b.tex:
+                if not meta:
+                    continue
+                _i, _b, iw, ih, nr, _r0, f0, img = meta
+                if img in done:
+                    continue
+                done.add(img)
+                flat = d_tex[f0:f0 + iw * ih]
+                flat = jnp.pad(flat, ((0, nr * 128 - iw * ih), (0, 0)))
+                for c in range(3):
+                    tblocks.append(flat[:, c].reshape(nr, 128))
+            d_tex_tab = jnp.concatenate(tblocks, axis=0)
+        else:
+            d_tex_tab = jnp.zeros_like(tex_tab)
         d_mat = jnp.concatenate([
             d_mat16[:, 6:9],    # amb
             d_mat16[:, 0:3],    # kd
@@ -1639,15 +1923,16 @@ def make_diff_render(pack, opts, interpret: bool = False):
         d_ml = small_row(5, Pm)
         d_o = jnp.stack([x.reshape(-1)[:r] for x in (box, boy, boz)], axis=-1)
         d_d = jnp.stack([x.reshape(-1)[:r] for x in (bdx, bdy, bdz)], axis=-1)
-        return (d_mat, d_pl, d_dl, d_sl, d_al, d_ml, d_bg, d_triw, d_o,
-                d_d, jnp.zeros_like(uab), jnp.zeros_like(uml),
-                jnp.zeros_like(ud), jnp.zeros_like(ugi))
+        return (d_mat, d_pl, d_dl, d_sl, d_al, d_ml, d_bg, d_triw,
+                d_tex_tab, d_o, d_d, jnp.zeros_like(uab),
+                jnp.zeros_like(uml), jnp.zeros_like(ud),
+                jnp.zeros_like(ugi))
 
     render.defvjp(render_fwd, render_bwd)
 
     def f(params, o, d, key=None):
         (mat_tab, pl_tab, dl_tab, sl_tab, al_tab, ml_tab, bg_tab,
-         tri_w) = tables(params)
+         tri_w, tex_tab) = tables(params)
         if key is None:
             key = jax.random.PRNGKey(0)
         uab, uml, ud, ugi = wavefront_rng(key, o.shape[0], D, Pa,
@@ -1656,6 +1941,6 @@ def make_diff_render(pack, opts, interpret: bool = False):
                                           need_rr=bc_f.pt_rr,
                                           need_sg=bc_f.pt_spec)
         return render(mat_tab, pl_tab, dl_tab, sl_tab, al_tab, ml_tab,
-                      bg_tab, tri_w, o, d, uab, uml, ud, ugi)
+                      bg_tab, tri_w, tex_tab, o, d, uab, uml, ud, ugi)
 
     return f

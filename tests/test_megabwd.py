@@ -134,7 +134,8 @@ def test_megabwd_eligibility_gates():
     import dataclasses
     # PT on a diffuse-only scene is eligible since round 4, RR included —
     # but RR adds RR_DEPTH_FLOOR unrolled segments, so deep scenes bust
-    # the 12-segment RR budget; and specular+PT stays wavefront
+    # the 12-segment RR budget; specular+PT is eligible since round 5
+    # (the stochastic single-child estimator)
     pt = dataclasses.replace(opts2, path_tracing=True)
     assert bwd_eligible(pack2.static, pt, pack2)
     pt_rr = dataclasses.replace(pt, russian_roulette=True)
@@ -143,10 +144,11 @@ def test_megabwd_eligibility_gates():
     assert not bwd_eligible(pack2.static, pt_rr_deep, pack2)  # 5 + 8 > 12
     pt_spec = dataclasses.replace(
         options_for_camera(cfg, cfg.cameras[0]), path_tracing=True)
-    assert not bwd_eligible(pack.static, pt_spec, pack)  # dielectric + PT
+    assert bwd_eligible(pack.static, pt_spec, pack)  # dielectric + PT (r5)
     deep = dataclasses.replace(opts2, max_depth=9)
     assert not bwd_eligible(pack2.static, deep, pack2)
-    # textured scenes stay on the wavefront
+    # non-diffuse-decal textures stay on the wavefront (diffuse image
+    # textures are differentiable leaves since round 5)
     st_tex = dataclasses.replace(pack2.static, n_textures=1)
     assert not bwd_eligible(st_tex, opts2, pack2)
 
@@ -504,3 +506,141 @@ def test_megabwd_path_tracing_specular(tmp_path, dielectric):
     fd = (vals[0] - vals[1]) / (2 * h)
     ad = float(np.asarray(g1["mat_mirror"])[row, 0])
     np.testing.assert_allclose(ad, fd, rtol=5e-3, atol=1e-4)
+
+
+TEX_BWD_SCENE = """<Scene>
+  <BackgroundColor>2 2 2</BackgroundColor>
+  <MaxRecursionDepth>2</MaxRecursionDepth>
+  <Cameras><Camera id="1">
+    <Position>0 0.6 3.5</Position><Gaze>0 -0.1 -1</Gaze><Up>0 1 0</Up>
+    <NearPlane>-1 1 -0.75 0.75</NearPlane><NearDistance>1</NearDistance>
+    <ImageResolution>320 240</ImageResolution>
+    <ImageName>texbwd.png</ImageName>
+  </Camera></Cameras>
+  <Lights>
+    <AmbientLight>15 15 15</AmbientLight>
+    <PointLight id="1"><Position>1 3 3</Position>
+      <Intensity>400 400 400</Intensity></PointLight>
+  </Lights>
+  <Materials>
+    <Material id="1"><AmbientReflectance>1 1 1</AmbientReflectance>
+      <DiffuseReflectance>0.5 0.4 0.3</DiffuseReflectance>
+      <SpecularReflectance>0.2 0.2 0.2</SpecularReflectance>
+      <PhongExponent>12</PhongExponent></Material>
+    <Material id="2" type="mirror"><AmbientReflectance>0 0 0</AmbientReflectance>
+      <DiffuseReflectance>0.05 0.05 0.05</DiffuseReflectance>
+      <SpecularReflectance>0 0 0</SpecularReflectance>
+      <MirrorReflectance>0.8 0.8 0.8</MirrorReflectance></Material>
+  </Materials>
+  <Textures>
+    <Images>
+      <Image id="1">{img1}</Image>
+      <Image id="2">{img2}</Image>
+    </Images>
+    <TextureMap id="1" type="image">
+      <DecalMode>replace_kd</DecalMode><ImageId>1</ImageId>
+      <Interpolation>nearest</Interpolation>
+    </TextureMap>
+    <TextureMap id="2" type="image">
+      <DecalMode>blend_kd</DecalMode><ImageId>2</ImageId>
+      <Interpolation>bilinear</Interpolation>
+    </TextureMap>
+  </Textures>
+  <VertexData>
+    -4 -1 3   4 -1 3   4 -1 -6   -4 -1 -6
+    -2.5 -1 -2   2.5 -1 -2   2.5 2 -2   -2.5 2 -2
+  </VertexData>
+  <TexCoordData>
+    0 2   2 2   2 0   0 0
+    0 1   1 1   1 0   0 0
+  </TexCoordData>
+  <Objects>
+    <Mesh id="1"><Material>1</Material><Textures>1</Textures>
+      <Faces>1 2 3  1 3 4</Faces></Mesh>
+    <Mesh id="2"><Material>1</Material><Textures>2</Textures>
+      <Faces vertexOffset="4" textureOffset="4">1 2 3  1 3 4</Faces></Mesh>
+    <Sphere id="1"><Material>2</Material><Center>1</Center>
+      <Radius>0.5</Radius></Sphere>
+  </Objects>
+</Scene>"""
+
+
+def test_megabwd_texture_gradients(tmp_path):
+    """Round 5: image textures are differentiable leaves of the fused
+    kernel — the texel table is a traced input, per-tap cotangents stream
+    back keyed by global texel index and reduce on the MXU, and bilinear
+    weights/uv stay differentiable through the winner's barycentrics.
+    d(img_atlas) (and everything else) must match the wavefront oracle,
+    plus a finite-difference check on single texels."""
+    from PIL import Image as PILImage
+
+    rng = np.random.default_rng(7)
+    img1 = tmp_path / "t1.png"
+    img2 = tmp_path / "t2.png"
+    PILImage.fromarray(rng.integers(0, 256, (12, 16, 3), dtype=np.uint8),
+                       "RGB").save(img1)
+    PILImage.fromarray(rng.integers(0, 256, (9, 8, 3), dtype=np.uint8),
+                       "RGB").save(img2)
+    p = tmp_path / "texbwd.xml"
+    p.write_text(TEX_BWD_SCENE.format(img1=img1, img2=img2))
+    cfg = load_scene(str(p))
+    pack = pack_scene(cfg)
+    assert pack.static.n_textures == 2
+    cam_cfg = cfg.cameras[0]
+    cam = build_camera(cam_cfg)
+    opts = options_for_camera(cfg, cam_cfg)
+    assert bwd_eligible(pack.static, opts, pack)
+    n = 512
+    rng2 = np.random.default_rng(3)
+    px = jnp.asarray(rng2.uniform(0, cam_cfg.width, n).astype(np.float32))
+    py = jnp.asarray(rng2.uniform(0, cam_cfg.height, n).astype(np.float32))
+    o, d = generate_rays(cam, px, py, jnp.zeros((n, 2)), dof=False)
+    d_opts = RenderOptions(max_depth=opts.max_depth, differentiable=True,
+                           max_iters=opts.max_depth + 2)
+    keys = ("mat_diffuse", "mat_mirror", "pl_intensity", "verts",
+            "img_atlas")
+    params = extract_params(pack, keys)
+    f = make_diff_render(pack, opts, interpret=True)
+
+    def loss_k(p):
+        img = f(p, o, d)
+        return jnp.sum(img * jnp.cos(0.01 * img))
+
+    def loss_j(p):
+        img = trace_radiance(inject_params(pack, p), cam, px, py,
+                             jax.random.PRNGKey(0), d_opts)
+        return jnp.sum(img * jnp.cos(0.01 * img))
+
+    v0, g0 = jax.value_and_grad(loss_j)(params)
+    v1, g1 = jax.value_and_grad(loss_k)(params)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=2e-4)
+    for k in keys:
+        a, b = np.asarray(g0[k]), np.asarray(g1[k])
+        assert np.all(np.isfinite(a)), f"oracle NaN: {k}"
+        assert np.all(np.isfinite(b)), k
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, rtol=5e-3, atol=5e-4 * scale,
+                                   err_msg=k)
+    # texel gradients actually flow, on BOTH textures
+    ga = np.asarray(g1["img_atlas"])
+    assert np.abs(ga[0]).sum() > 0 and np.abs(ga[1]).sum() > 0
+    # finite differences on the two most-visible texels (one per texture)
+    atlas = np.asarray(params["img_atlas"]).copy()
+    for img_i in (0, 1):
+        flat = np.abs(ga[img_i]).sum(-1).reshape(-1)
+        j_i = int(np.argmax(flat))
+        jj, ii = divmod(j_i, atlas.shape[2])
+        # h = 4 texel units: the f32 loss (~1e5) only resolves deltas to
+        # ~1e-2, so the FD probe needs a large step; the modulation is
+        # linear in the texel value, so no truncation error is added
+        h = 4.0
+        vals = []
+        for s in (+h, -h):
+            a2 = atlas.copy()
+            a2[img_i, jj, ii, 1] += s
+            p2 = dict(params)
+            p2["img_atlas"] = jnp.asarray(a2)
+            vals.append(float(loss_k(p2)))
+        fd = (vals[0] - vals[1]) / (2 * h)
+        ad = float(ga[img_i, jj, ii, 1])
+        np.testing.assert_allclose(ad, fd, rtol=2e-2, atol=1e-5)

@@ -77,6 +77,66 @@ def gauge_broken_scene() -> str:
     return str(out)
 
 
+def texture_scene(n: int = 64) -> str:
+    """Authored scene for INVERSE TEXTURE RECOVERY (round 5, VERDICT r4
+    item 3): an n x n bilinear replace_kd texture on a tilted floor quad
+    filling most of the frame + a point light.  The texture is the
+    unknown; tools recover it from renders through the fused fwd+bwd
+    kernel's texel-cotangent streams."""
+    from advanced_cpu_raytracing_tpu.post.writers import write_png
+
+    ys, xs = np.mgrid[0:n, 0:n] / float(n)
+    tex = np.stack([
+        40 + 170 * xs,
+        30 + 60 * ((np.floor(xs * 8) + np.floor(ys * 8)) % 2),
+        220 * ys,
+    ], axis=-1).clip(0, 255).astype(np.uint8)
+    td = pathlib.Path("/tmp/acrt_inverse_tex")
+    td.mkdir(exist_ok=True)
+    write_png(str(td / "tex.png"), tex)
+    xml = f"""<Scene>
+  <BackgroundColor>5 5 5</BackgroundColor>
+  <MaxRecursionDepth>2</MaxRecursionDepth>
+  <Cameras><Camera id="1">
+    <Position>0 2.2 3.2</Position><Gaze>0 -0.55 -1</Gaze><Up>0 1 0</Up>
+    <NearPlane>-1 1 -1 1</NearPlane><NearDistance>1</NearDistance>
+    <ImageResolution>800 800</ImageResolution>
+    <ImageName>invtex.png</ImageName>
+  </Camera></Cameras>
+  <Lights>
+    <AmbientLight>20 20 20</AmbientLight>
+    <PointLight id="1"><Position>1 4 2</Position>
+      <Intensity>1200 1200 1200</Intensity></PointLight>
+  </Lights>
+  <Materials>
+    <Material id="1"><AmbientReflectance>1 1 1</AmbientReflectance>
+      <DiffuseReflectance>0.5 0.5 0.5</DiffuseReflectance>
+      <SpecularReflectance>0.1 0.1 0.1</SpecularReflectance>
+      <PhongExponent>10</PhongExponent></Material>
+  </Materials>
+  <Textures>
+    <Images><Image id="1">{td}/tex.png</Image></Images>
+    <TextureMap id="1" type="image">
+      <DecalMode>replace_kd</DecalMode><ImageId>1</ImageId>
+      <Interpolation>bilinear</Interpolation>
+    </TextureMap>
+  </Textures>
+  <VertexData>
+    -2.6 -0.5 2.4   2.6 -0.5 2.4   2.6 0.2 -3.2   -2.6 0.2 -3.2
+  </VertexData>
+  <TexCoordData>
+    0 1   1 1   1 0   0 0
+  </TexCoordData>
+  <Objects>
+    <Mesh id="1"><Material>1</Material><Textures>1</Textures>
+      <Faces>1 2 3  1 3 4</Faces></Mesh>
+  </Objects>
+</Scene>"""
+    p = td / "invtex.xml"
+    p.write_text(xml)
+    return str(p)
+
+
 def main() -> int:
     def arg(flag, default, cast):
         return cast(sys.argv[sys.argv.index(flag) + 1]) \
@@ -87,9 +147,18 @@ def main() -> int:
     res = arg("--res", 800, int)
     lr = arg("--lr", 5e-3, float)
     variant = arg("--scene", "gauge", str)
+    if "--texture" in sys.argv:
+        variant = "texture"
     interpret = jax.default_backend() != "tpu"
 
-    scene_path = SCENE if variant == "conductors" else gauge_broken_scene()
+    fields = FIELDS
+    if variant == "conductors":
+        scene_path = SCENE
+    elif variant == "texture":
+        scene_path = texture_scene()
+        fields = ("img_atlas",)
+    else:
+        scene_path = gauge_broken_scene()
     cfg = load_scene(scene_path)
     pack = pack_scene(cfg)
     cam_cfg = cfg.cameras[0]
@@ -113,7 +182,7 @@ def main() -> int:
         o, d = generate_rays(cam, px, py, jnp.zeros((n, 2)), dof=False)
         rays.append((o, d))
 
-    true_params = extract_params(pack, FIELDS)
+    true_params = extract_params(pack, fields)
 
     @jax.jit
     def render_target(params, o, d):
@@ -122,13 +191,21 @@ def main() -> int:
     targets = [render_target(true_params, o, d) for (o, d) in rays]
     jax.block_until_ready(targets)
 
-    # perturb: materials darkened, light brightened, geometry nudged
+    # perturb: materials darkened, light brightened, geometry nudged; the
+    # texture variant instead degrades the texture to flat grey + noise
     rng = np.random.default_rng(3)
     start = dict(true_params)
-    start["mat_diffuse"] = true_params["mat_diffuse"] * 0.45
-    start["pl_intensity"] = true_params["pl_intensity"] * 1.7
-    start["verts"] = true_params["verts"] + jnp.asarray(
-        rng.normal(0, 0.01, true_params["verts"].shape).astype(np.float32))
+    if variant == "texture":
+        a = np.asarray(true_params["img_atlas"])
+        start["img_atlas"] = jnp.asarray(
+            np.full_like(a, 128.0)
+            + rng.normal(0, 20, a.shape).astype(np.float32))
+    else:
+        start["mat_diffuse"] = true_params["mat_diffuse"] * 0.45
+        start["pl_intensity"] = true_params["pl_intensity"] * 1.7
+        start["verts"] = true_params["verts"] + jnp.asarray(
+            rng.normal(0, 0.01, true_params["verts"].shape)
+            .astype(np.float32))
 
     # optimize in a per-field NORMALIZED space: u = p / scale with scale =
     # a per-field magnitude, so one Adam learning rate serves parameters
@@ -155,7 +232,7 @@ def main() -> int:
     # 1.6e-4 with the split)
     tx = optax.multi_transform(
         {"fast": optax.adam(lr), "verts": optax.adam(lr * 0.03)},
-        {k: ("verts" if k == "verts" else "fast") for k in FIELDS})
+        {k: ("verts" if k == "verts" else "fast") for k in fields})
     opt_state = tx.init(u_start)
 
     @jax.jit
@@ -189,32 +266,46 @@ def main() -> int:
     def err(k):
         a = np.asarray(params[k])
         b = np.asarray(true_params[k])
+        if k == "img_atlas":
+            # only the real texel region (the atlas pads to Hmax x Wmax)
+            ih = int(np.asarray(pack.img_h)[0])
+            iw = int(np.asarray(pack.img_w)[0])
+            a, b = a[0, :ih, :iw], b[0, :ih, :iw]
         scale = max(float(np.abs(b).max()), 1e-6)
         return float(np.abs(a - b).max() / scale)
 
-    # diffuse shading sees only the PRODUCT diffuse*intensity (the classic
-    # albedo/illumination gauge ambiguity — only the few specular-highlight
-    # pixels identify intensity alone), so the identifiable combination is
-    # reported alongside the raw per-field errors
-    prod = np.einsum("mc,pc->mpc", np.asarray(params["mat_diffuse"]),
-                     np.asarray(params["pl_intensity"]))
-    prod_true = np.einsum("mc,pc->mpc",
-                          np.asarray(true_params["mat_diffuse"]),
-                          np.asarray(true_params["pl_intensity"]))
-    prod_err = float(np.abs(prod - prod_true).max()
-                     / max(float(np.abs(prod_true).max()), 1e-6))
+    if variant != "texture":
+        # diffuse shading sees only the PRODUCT diffuse*intensity (the
+        # classic albedo/illumination gauge ambiguity — only the few
+        # specular-highlight pixels identify intensity alone), so the
+        # identifiable combination is reported alongside the raw per-field
+        # errors
+        prod = np.einsum("mc,pc->mpc", np.asarray(params["mat_diffuse"]),
+                         np.asarray(params["pl_intensity"]))
+        prod_true = np.einsum("mc,pc->mpc",
+                              np.asarray(true_params["mat_diffuse"]),
+                              np.asarray(true_params["pl_intensity"]))
+        prod_err = float(np.abs(prod - prod_true).max()
+                         / max(float(np.abs(prod_true).max()), 1e-6))
+    else:
+        ih = int(np.asarray(pack.img_h)[0])
+        iw = int(np.asarray(pack.img_w)[0])
+        a = np.asarray(params["img_atlas"])[0, :ih, :iw]
+        b = np.asarray(true_params["img_atlas"])[0, :ih, :iw]
+        tex_mse = float(np.mean((a - b) ** 2))
+        prod_err = None
     final = np.asarray(render_target(params, *rays[0]))
     tgt0 = np.asarray(targets[0])
     mse = float(np.mean((final - tgt0) ** 2))
     psnr = 10.0 * np.log10(255.0 ** 2 / max(mse, 1e-12))
 
     summary = {
-        "scene": ("cornellbox_recursive_conductors" if variant == "conductors"
-                  else "conductors + known directional anchor (gauge-broken)"),
-        "gauge": ("ambiguous (single optimized light)"
-                  if variant == "conductors"
-                  else "broken: known DirectionalLight anchors albedo, so "
-                       "mat_diffuse and pl_intensity separate"),
+        "scene": {
+            "conductors": "cornellbox_recursive_conductors",
+            "gauge": "conductors + known directional anchor (gauge-broken)",
+            "texture": "authored 64x64 bilinear replace_kd floor "
+                       "(inverse TEXTURE recovery)",
+        }[variant],
         "resolution": [res, res],
         "spp": spp,
         "steps": steps,
@@ -224,13 +315,23 @@ def main() -> int:
         "loss_first": history[0],
         "loss_last": history[-1],
         "loss_curve_every5": history[::5],
-        "max_rel_err": {k: err(k) for k in FIELDS},
-        "diffuse_x_intensity_rel_err": prod_err,
+        "max_rel_err": {k: err(k) for k in fields},
         "image_psnr_db": round(psnr, 2),
     }
+    if variant == "texture":
+        summary["texture_mse"] = round(tex_mse, 4)
+        summary["texture_psnr_db"] = round(
+            10.0 * np.log10(255.0 ** 2 / max(tex_mse, 1e-12)), 2)
+    else:
+        summary["gauge"] = (
+            "ambiguous (single optimized light)" if variant == "conductors"
+            else "broken: known DirectionalLight anchors albedo, so "
+                 "mat_diffuse and pl_intensity separate")
+        summary["diffuse_x_intensity_rel_err"] = prod_err
     print(json.dumps(summary), flush=True)
-    name = ("inverse_render.json" if variant == "conductors"
-            else "inverse_render_gauge.json")
+    name = {"conductors": "inverse_render.json",
+            "gauge": "inverse_render_gauge.json",
+            "texture": "inverse_render_texture.json"}[variant]
     out = pathlib.Path(__file__).parent / "artifacts" / name
     out.parent.mkdir(exist_ok=True)
     out.write_text(json.dumps(summary, indent=1))
