@@ -91,6 +91,13 @@ CHUNK = 128
 # larger scenes stream chunks from HBM
 _VMEM_MAX_FACES = 98304
 
+# Streaming granularity (round 5): HBM-streamed scenes sweep 512-face
+# chunks — one DMA amortizes its latency over 4x the faces and the cull
+# loop runs 4x fewer conds than the round-4 128-face granularity
+# (measured 0.20 -> see BASELINE.md).  Culling granularity coarsens
+# correspondingly; BVH-ordered faces keep chunks spatially coherent.
+STREAM_CHUNK = 2048
+
 
 def _perm512_table() -> np.ndarray:
     """Perlin permutation table duplicated to 512 entries, shaped (4, 128)
@@ -222,12 +229,12 @@ def mega_eligible(static, opts, pack=None) -> bool:
         # the contributor golden scenes go up to 103 materials
         and static.n_materials <= 128
         and opts.max_depth <= 10
-        # mesh lights: the NEE face loop unrolls per face
+        # mesh lights: the NEE face loop unrolls per face.  Round 5: both
+        # textures (their tables are separate VMEM inputs; tri-table
+        # columns read through the rebindable accessor) and mesh lights
+        # (corners baked as constants) work with HBM-streamed geometry,
+        # so no streaming exclusions remain
         and static.n_mesh_lights <= 4
-        # beyond the VMEM budget the tri table streams from HBM; mesh
-        # lights (static-row gathers) and textures stay resident-only
-        and (static.n_work_items <= _VMEM_MAX_FACES
-             or (static.n_textures == 0 and static.n_mesh_lights == 0))
     )
     if not base:
         return False
@@ -519,6 +526,7 @@ def build_mega(pack, opts, host_rng: bool = False):
                 tab[:w, 39:48] = np.asarray(pack.ent_nrm)[wi_ent] \
                     .reshape(w, 9)
 
+    stream_geo = w > _VMEM_MAX_FACES
     n_chunks = max((w + CHUNK - 1) // CHUNK, 1)
     ctab = np.zeros((n_chunks, 8), np.float32)
     for ci in range(n_chunks):
@@ -583,9 +591,11 @@ def build_mega(pack, opts, host_rng: bool = False):
             for m in materials
         ]
 
-    # mesh lights: each face as (row in the tri table, area weight) so the
-    # NEE loop can unroll with scalar constants (MeshLight::SampleRandomPoint,
-    # meshLight.h:27-50; weight = faceArea/surfaceArea in object space)
+    # mesh lights: each face as (row, area weight, world corners) so the
+    # NEE loop unrolls with scalar constants (MeshLight::SampleRandomPoint,
+    # meshLight.h:27-50; weight = faceArea/surfaceArea in object space).
+    # Corners are BAKED — no tri-table reads, so mesh lights work with
+    # HBM-streamed geometry too (round 5)
     mesh_lights = []
     if st.n_mesh_lights and w:
         wi_ent_np = np.asarray(pack.wi_ent)[:w]
@@ -596,7 +606,9 @@ def build_mega(pack, opts, host_rng: bool = False):
             area = float(np.asarray(pack.ml_area)[i])
             rows = np.where(wi_ent_np == ent)[0]
             faces = tuple(
-                (int(rw), float(tri_area_np[wi_face_np[rw]] / max(area, 1e-20)))
+                (int(rw), float(tri_area_np[wi_face_np[rw]]
+                                / max(area, 1e-20)),
+                 tup(tab[rw, 0:9]))
                 for rw in rows
             )
             mesh_lights.append(
@@ -803,16 +815,26 @@ def build_mega(pack, opts, host_rng: bool = False):
         big_tab = np.concatenate(
             big_rows + [np.zeros((_BIG_WN, LANES), np.float32)], axis=0)
 
-    # HBM-streamed geometry: pad the table to whole chunks so the per-chunk
-    # DMA never overruns (padding rows are degenerate: det == 0 -> invalid)
-    # and to the full 128-lane minor dim — Mosaic requires HBM memref
-    # slices aligned to the (1,128) tiling, so the DMA must move whole
-    # lane rows
-    stream_geo = w > _VMEM_MAX_FACES
+    # HBM-streamed geometry: pad the table to whole stream chunks so the
+    # per-chunk DMA never overruns (padding rows are degenerate: det == 0
+    # -> invalid) and to the full 128-lane minor dim — Mosaic requires HBM
+    # memref slices aligned to the (1,128) tiling, so the DMA must move
+    # whole lane rows.  COARSE cull boxes (one per STREAM_CHUNK of faces,
+    # union of its fine boxes) append to ctab at rows [n_chunks,
+    # n_chunks + n_sc) — the kernel tests the coarse box first and only
+    # pays the fine culls where it passes (round 5)
     if stream_geo:
-        pad_rows = (-tab.shape[0]) % CHUNK
+        pad_rows = (-tab.shape[0]) % STREAM_CHUNK
         pad_cols = LANES - n_cols
         tab = np.pad(tab, ((0, pad_rows), (0, pad_cols)))
+        r_sc = STREAM_CHUNK // CHUNK
+        n_sc = -(-n_chunks // r_sc)
+        coarse = np.zeros((n_sc, 8), np.float32)
+        for si in range(n_sc):
+            f = ctab[si * r_sc:(si + 1) * r_sc]
+            coarse[si, 0:3] = f[:, 0:3].min(axis=0)
+            coarse[si, 3:6] = f[:, 3:6].max(axis=0)
+        ctab = np.concatenate([ctab, coarse], axis=0)
 
     mc = MegaConsts(
         n_tri=w,
@@ -896,8 +918,8 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         big_scr, big_sem = rest[scr_at], rest[scr_at + 1]
 
     # geometry accessor: the sweeps read faces through _geo so the streaming
-    # chunk loop can rebind them to the DMA'd VMEM scratch (local indices)
-    # while resident scenes read tri_ref directly (global indices)
+    # chunk loop can rebind them to the DMA'd VMEM scratch slots (local
+    # indices) while resident scenes read tri_ref directly (global indices)
     _geo = {"ref": tri_ref}
 
     def gref(ti, col):
@@ -1430,8 +1452,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         ivy = 1.0 / vy
         ivz = 1.0 / vz
 
-        def chunk_body(ci, carry):
-            t_b = live_of(carry)
+        def cull(ci, t_b):
             t1 = (chunk_ref[ci, 0] - px) * ivx
             t2 = (chunk_ref[ci, 3] - px) * ivx
             tmin = jnp.minimum(t1, t2)
@@ -1444,23 +1465,57 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             t2 = (chunk_ref[ci, 5] - pz) * ivz
             tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
             tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
-            enter = (tmax > 0) & (tmax >= tmin) & (tmin < t_b)
-            if mc.stream_geo:
-                # HBM-streamed: DMA the surviving chunk's 128 faces into the
-                # VMEM scratch, then sweep it with LOCAL indices (the
-                # padding rows past n_tri are degenerate -> never valid)
+            return (tmax > 0) & (tmax >= tmin) & (tmin < t_b)
+
+        if mc.stream_geo:
+            # HBM-streamed, TWO-LEVEL (round 5): one STREAM_CHUNK-face DMA
+            # when any of its 128-face sub-chunks survives the fine cull,
+            # then per-SUB-chunk culled sweeps over the scratch — the DMA
+            # amortizes its latency over 4x the faces while sweep culling
+            # keeps the round-4 128-face granularity.  Start/wait/sweep
+            # stay inside ONE lax.cond on ONE scratch: splitting them
+            # across sibling conds (or double-buffering two scratches)
+            # produced stale scratch reads in both the interpreter's state
+            # discharge AND compiled Mosaic — measured wrong images,
+            # reverted.
+            R_ = STREAM_CHUNK // CHUNK
+
+            def sc_body(sci, carry):
+                t_b = live_of(carry)
+                base_c = sci * R_
+                # coarse box first (ctab row n_chunks + sci): one slab
+                # test gates this super-chunk's 16 fine culls + DMA
+                coarse_enter = jnp.any(cull(n_chunks + sci, t_b))
+
                 def run(c):
+                    preds = []
+                    for j in range(R_):
+                        cj = jnp.minimum(base_c + j, n_chunks - 1)
+                        preds.append(jnp.any(cull(cj, t_b))
+                                     & (base_c + j < n_chunks))
                     cp = pltpu.make_async_copy(
-                        tri_ref.at[pl.ds(ci * CHUNK, CHUNK), :],
+                        tri_ref.at[pl.ds(sci * STREAM_CHUNK,
+                                         STREAM_CHUNK), :],
                         geo_scr, geo_sem)
                     cp.start()
                     cp.wait()
                     _geo["ref"] = geo_scr
-                    out = jax.lax.fori_loop(0, CHUNK, body, c)
+                    for j in range(R_):
+                        c = jax.lax.cond(
+                            preds[j],
+                            lambda cc, j=j: jax.lax.fori_loop(
+                                j * CHUNK, (j + 1) * CHUNK, body, cc),
+                            lambda cc: cc, c)
                     _geo["ref"] = tri_ref
-                    return out
+                    return c
 
-                return jax.lax.cond(jnp.any(enter), run, lambda c: c, carry)
+                return jax.lax.cond(coarse_enter, run, lambda c: c, carry)
+
+            n_sc = (mc.n_tri + STREAM_CHUNK - 1) // STREAM_CHUNK
+            return jax.lax.fori_loop(0, n_sc, sc_body, init)
+
+        def chunk_body(ci, carry):
+            enter = cull(ci, live_of(carry))
             lo = ci * CHUNK
             hi = jnp.minimum(lo + CHUNK, mc.n_tri)
             return jax.lax.cond(
@@ -2166,17 +2221,17 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
                                count - 1)
             avx = avy = avz = bvx = bvy = bvz = cvx = cvy = cvz = ZERO
             wgt = ZERO
-            for fi, (row, wfac) in enumerate(faces):
+            for fi, (row, wfac, c9) in enumerate(faces):
                 selm = fsel == fi
-                avx = jnp.where(selm, tri_ref[row, 0], avx)
-                avy = jnp.where(selm, tri_ref[row, 1], avy)
-                avz = jnp.where(selm, tri_ref[row, 2], avz)
-                bvx = jnp.where(selm, tri_ref[row, 3], bvx)
-                bvy = jnp.where(selm, tri_ref[row, 4], bvy)
-                bvz = jnp.where(selm, tri_ref[row, 5], bvz)
-                cvx = jnp.where(selm, tri_ref[row, 6], cvx)
-                cvy = jnp.where(selm, tri_ref[row, 7], cvy)
-                cvz = jnp.where(selm, tri_ref[row, 8], cvz)
+                avx = jnp.where(selm, c9[0], avx)
+                avy = jnp.where(selm, c9[1], avy)
+                avz = jnp.where(selm, c9[2], avz)
+                bvx = jnp.where(selm, c9[3], bvx)
+                bvy = jnp.where(selm, c9[4], bvy)
+                bvz = jnp.where(selm, c9[5], bvz)
+                cvx = jnp.where(selm, c9[6], cvx)
+                cvy = jnp.where(selm, c9[7], cvy)
+                cvz = jnp.where(selm, c9[8], cvz)
                 wgt = jnp.where(selm, wfac, wgt)
             b1 = rnd(it, 3 + 3 * li_idx + 1)
             b2 = rnd(it, 3 + 3 * li_idx + 2)
@@ -2624,7 +2679,7 @@ def mega_trace_flat(mc: MegaConsts, tri_tab, chunk_tab, o, d,
     scratch_shapes = []
     if mc.stream_geo:
         scratch_shapes = [
-            pltpu.VMEM((CHUNK, int(tri_tab.shape[1])), jnp.float32),
+            pltpu.VMEM((STREAM_CHUNK, int(tri_tab.shape[1])), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ]
     if has_big:

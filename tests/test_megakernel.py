@@ -1483,3 +1483,73 @@ def test_megakernel_transformed_normal_bump(tmp_path):
     diff = np.abs(l_mega - l_jnp)
     assert np.mean(diff) < 0.02, np.mean(diff)
     assert np.quantile(diff, 0.995) < 1.0, np.quantile(diff, 0.995)
+
+
+def test_megakernel_streamed_textured(monkeypatch):
+    """Round 5: textures stream with the geometry — the texture tables are
+    separate VMEM inputs and the tri-table texture/uv columns read through
+    the rebindable accessor, so the streamed textured terrain must match
+    the jnp wavefront."""
+    import advanced_cpu_raytracing_tpu.ops.pallas.megakernel as mk
+    from advanced_cpu_raytracing_tpu.render.renderer import options_for_camera
+    from advanced_cpu_raytracing_tpu.scene.synth import terrain_scene
+
+    cfg = terrain_scene(n=33, width=64, height=48, textured=True)
+    pack = pack_scene(cfg)
+    assert pack.static.n_textures == 1
+    opts = options_for_camera(cfg, cfg.cameras[0])
+    cam = build_camera(cfg.cameras[0])
+    rng = np.random.default_rng(5)
+    n = 1024
+    px = jnp.asarray(rng.uniform(0, 64, n).astype(np.float32))
+    py = jnp.asarray(rng.uniform(0, 48, n).astype(np.float32))
+    o, d = cam_mod.generate_rays(cam, px, py, jnp.zeros((n, 2)), dof=False)
+
+    monkeypatch.setattr(mk, "_VMEM_MAX_FACES", 512)
+    assert mk.mega_eligible(pack.static, opts, pack)
+    mc, tab, ctab, img_tab = mk.build_mega(pack, opts)
+    assert mc.stream_geo and (mc.img_diff or any(mc.big_textures))
+    l_str = np.asarray(mk.mega_trace(mc, tab, ctab, o, d, interpret=True,
+                                     img_tab=img_tab))
+    l_jnp = np.asarray(trace_radiance(pack, cam, px, py,
+                                      jax.random.PRNGKey(0), opts))
+    diff = np.abs(l_str - l_jnp)
+    assert np.mean(diff) < 0.02, np.mean(diff)
+    assert np.quantile(diff, 0.995) < 1.0, np.quantile(diff, 0.995)
+
+
+def test_megakernel_streamed_meshlight(tmp_path, monkeypatch):
+    """Round 5: mesh lights stream too — their sampled-face corners are
+    baked constants, not tri-table reads.  With the same host-RNG table,
+    the streamed kernel must equal the resident kernel bit-for-bit."""
+    import advanced_cpu_raytracing_tpu.ops.pallas.megakernel as mk
+    from advanced_cpu_raytracing_tpu.render.renderer import options_for_camera
+    from tests.scene_builders import cornell_pt_xml
+
+    (tmp_path / "pt.xml").write_text(
+        cornell_pt_xml(depth=2, res=32, spp=1, params="NextEventEstimation"))
+    cfg = load_scene(str(tmp_path / "pt.xml"))
+    pack = pack_scene(cfg)
+    assert pack.static.n_mesh_lights == 1
+    opts = options_for_camera(cfg, cfg.cameras[0])
+    cam = build_camera(cfg.cameras[0])
+    rng = np.random.default_rng(6)
+    n = 512
+    px = jnp.asarray(rng.uniform(0, 32, n).astype(np.float32))
+    py = jnp.asarray(rng.uniform(0, 32, n).astype(np.float32))
+    o, d = cam_mod.generate_rays(cam, px, py, jnp.zeros((n, 2)), dof=False)
+
+    mc_r, tab_r, ctab_r, img_r = mk.build_mega(pack, opts, host_rng=True)
+    assert not mc_r.stream_geo
+    l_res = np.asarray(mk.mega_trace(
+        mc_r, tab_r, ctab_r, o, d, interpret=True, seed=0,
+        rng_key=jax.random.PRNGKey(3), img_tab=img_r))
+
+    monkeypatch.setattr(mk, "_VMEM_MAX_FACES", 8)
+    assert mk.mega_eligible(pack.static, opts, pack)
+    mc_s, tab_s, ctab_s, img_s = mk.build_mega(pack, opts, host_rng=True)
+    assert mc_s.stream_geo and mc_s.mesh_lights
+    l_str = np.asarray(mk.mega_trace(
+        mc_s, tab_s, ctab_s, o, d, interpret=True, seed=0,
+        rng_key=jax.random.PRNGKey(3), img_tab=img_s))
+    np.testing.assert_allclose(l_str, l_res, rtol=1e-6, atol=1e-5)

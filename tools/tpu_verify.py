@@ -311,11 +311,14 @@ def main() -> int:
         return 0
 
     if "--stream" in sys.argv:
-        # >500k-face synthetic terrain: HBM-streamed megakernel (stream_geo)
-        # vs the jnp per-entity BVH fallback on the same frame
+        # >500k-face synthetic terrain, TEXTURED since round 5 (textures
+        # stream with the geometry): HBM-streamed megakernel (stream_geo)
+        # vs the jnp per-entity BVH fallback on the same frame.
+        # --stream-plain reproduces the round-4 untextured protocol.
         from advanced_cpu_raytracing_tpu.scene.synth import terrain_scene
 
-        cfg = terrain_scene(n=513, width=640, height=480)
+        cfg = terrain_scene(n=513, width=640, height=480,
+                            textured="--stream-plain" not in sys.argv)
         pack = pack_scene(cfg)
         cam_cfg = cfg.cameras[0]
         opts = options_for_camera(cfg, cam_cfg)
