@@ -172,21 +172,21 @@ def bwd_eligible(static, opts, pack=None) -> bool:
     # PT chains stay linear for any material mix (round 5): specular hits
     # use the stochastic single-child estimator (replayed coin picks GI vs
     # specular, weight doubles — integrator.py stochastic_spec_gi), so
-    # every node still pushes at most one child.  RR is covered (replayed
-    # kill draws + differentiable 1/prob reweight) but adds RR_DEPTH_FLOOR
-    # unrolled segments, so the depth budget tightens.
-    from advanced_cpu_raytracing_tpu.render.integrator import RR_DEPTH_FLOOR
-    pt_ok = (not opts.path_tracing) or (
-        not opts.russian_roulette
-        or opts.max_depth + RR_DEPTH_FLOOR <= 12)
+    # every node still pushes at most one child.  RR (replayed kill draws
+    # + differentiable 1/prob reweight) adds RR_DEPTH_FLOOR unrolled
+    # segments, measured fine at the maximum 17 (depth 8 + floor 8 +
+    # primary): 45 s Mosaic compile, 0.6 GB peak RSS, finite grads
+    # (tools/rr_depth_probe.py, round 5) — so the reference's
+    # RR-at-any-depth (raytracer.cpp:137-147) is covered up to the global
+    # depth cap below and needs no extra gate.
+    #
     # round 5: diffuse image textures are differentiable leaves (the texel
     # table is a traced input; cotangents stream per tap) — small images,
     # replace_kd/blend_kd decals, mesh-attached only
     tex_ok = static.n_textures == 0 or (
         pack is not None and _bwd_tex_ok(static, pack))
     return (
-        pt_ok
-        and opts.max_depth <= 8
+        opts.max_depth <= 8
         and tex_ok
         and static.n_env == 0
         and ml_ok
@@ -707,15 +707,22 @@ def _kernel(*refs, bc: BwdConsts):
     def merge_st(m, a, b):
         """Lane-wise trace-dict select: ``a`` where ``m`` else ``b``
         (pt_spec: lanes that took the GI child reuse the previous
-        segment's GI trace, specular-chain lanes get a fresh one)."""
+        segment's GI trace, specular-chain lanes get a fresh one).
+        Bool fields select through f32 — Mosaic mishandles some (8,128)
+        i1 vector selects (the same class as the i1 loop-carry quirk)."""
+        def sel(x, y):
+            if x.dtype == jnp.bool_:
+                return jnp.where(m, x.astype(jnp.float32),
+                                 y.astype(jnp.float32)) > 0.5
+            return jnp.where(m, x, y)
+
         out = {}
         for key_ in a:
             va, vb = a[key_], b[key_]
             if isinstance(va, (tuple, list)):
-                out[key_] = type(va)(
-                    jnp.where(m, x, y) for x, y in zip(va, vb))
+                out[key_] = type(va)(sel(x, y) for x, y in zip(va, vb))
             else:
-                out[key_] = jnp.where(m, va, vb)
+                out[key_] = sel(va, vb)
         return out
 
     def shadow(px, py, pz, vx, vy, vz, limit, gate):

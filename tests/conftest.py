@@ -16,7 +16,14 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("ACRT_TPU_TESTS"):
+    # TPU test tier (round 5): keep the real backend so the @pytest.mark.tpu
+    # cases in test_tpu.py assert compiled-kernel parity on hardware.  Run
+    # them ALONE (one TPU process at a time):
+    #   ACRT_TPU_TESTS=1 python -m pytest tests/test_tpu.py -m tpu -q
+    pass
+else:
+    jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

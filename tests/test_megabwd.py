@@ -132,16 +132,18 @@ def test_megabwd_eligibility_gates():
     opts2 = options_for_camera(cfg2, cfg2.cameras[0])
     assert bwd_eligible(pack2.static, opts2, pack2)
     import dataclasses
-    # PT on a diffuse-only scene is eligible since round 4, RR included —
-    # but RR adds RR_DEPTH_FLOOR unrolled segments, so deep scenes bust
-    # the 12-segment RR budget; specular+PT is eligible since round 5
-    # (the stochastic single-child estimator)
+    # PT on a diffuse-only scene is eligible since round 4, RR included;
+    # round 5 lifted the 12-segment RR budget (17 segments measured on
+    # hardware, tools/rr_depth_probe.py) and admitted specular+PT (the
+    # stochastic single-child estimator)
     pt = dataclasses.replace(opts2, path_tracing=True)
     assert bwd_eligible(pack2.static, pt, pack2)
     pt_rr = dataclasses.replace(pt, russian_roulette=True)
-    assert bwd_eligible(pack2.static, pt_rr, pack2)  # depth 0 + 8 <= 12
-    pt_rr_deep = dataclasses.replace(pt_rr, max_depth=5)
-    assert not bwd_eligible(pack2.static, pt_rr_deep, pack2)  # 5 + 8 > 12
+    assert bwd_eligible(pack2.static, pt_rr, pack2)
+    pt_rr_deep = dataclasses.replace(pt_rr, max_depth=8)
+    assert bwd_eligible(pack2.static, pt_rr_deep, pack2)  # 17 segments
+    assert not bwd_eligible(
+        pack2.static, dataclasses.replace(pt_rr, max_depth=9), pack2)
     pt_spec = dataclasses.replace(
         options_for_camera(cfg, cfg.cameras[0]), path_tracing=True)
     assert bwd_eligible(pack.static, pt_spec, pack)  # dielectric + PT (r5)
