@@ -251,17 +251,27 @@ def test_sharded_diff_step_deep_dielectric():
     render = make_diff_render(pack, opts, interpret=True)
     shard = n // mesh.size
 
-    def loss_manual(p):
-        total = 0.0
-        for i in range(mesh.size):
-            sl = slice(i * shard, (i + 1) * shard)
-            o, d = generate_rays(cam, px[sl], py[sl],
-                                 jnp.zeros((shard, 2)), dof=False)
-            img = render(p, o, d, key=jax.random.fold_in(key, i))
-            total = total + jnp.sum((img - target[sl]) ** 2)
-        return total / (3.0 * n)
+    # one shard-sized graph compiled ONCE and reused per device (the
+    # 8-shard-in-one-graph oracle compiles for hours in interpret mode);
+    # grads of a sum = sum of per-shard grads, identical to the psum
+    def loss_shard(p, px_s, py_s, tgt_s, k):
+        o, d = generate_rays(cam, px_s, py_s, jnp.zeros((shard, 2)),
+                             dof=False)
+        img = render(p, o, d, key=k)
+        return jnp.sum((img - tgt_s) ** 2)
 
-    loss_1, g_1 = jax.value_and_grad(loss_manual)(params)
+    step1 = jax.jit(jax.value_and_grad(loss_shard))
+    loss_1 = 0.0
+    g_1 = None
+    for i in range(mesh.size):
+        sl = slice(i * shard, (i + 1) * shard)
+        li, gi = step1(params, px[sl], py[sl], target[sl],
+                       jax.random.fold_in(key, i))
+        loss_1 += float(li)
+        g_1 = gi if g_1 is None else jax.tree_util.tree_map(
+            jnp.add, g_1, gi)
+    loss_1 = loss_1 / (3.0 * n)
+    g_1 = jax.tree_util.tree_map(lambda x: x / (3.0 * n), g_1)
     np.testing.assert_allclose(float(loss_sh), float(loss_1), rtol=1e-6)
     for k in g_1:
         a, b = np.asarray(g_1[k]), np.asarray(g_sh[k])
