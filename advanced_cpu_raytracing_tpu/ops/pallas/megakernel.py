@@ -312,23 +312,22 @@ def _img_is_small(pack, img: int) -> bool:
 def _textures_eligible(static, pack) -> bool:
     """Textured scenes qualify only when every texture is in-kernel-able:
 
-    * procedural Perlin — mesh-attached, diffuse/specular/bump decal modes,
-      and — for bump — identity normal matrices, since the kernel only has
-      world-space normals while the gradient projection happens against the
-      object-space normal (shading.py::_apply_bump_normal_maps);
-    * image — diffuse/specular/replace_all/normal-map/image-bump decal
-      modes.  Small LDR images (<= _IMG_MAX_TEXELS texels, integer 0..255)
-      ride the VMEM row-masked gather; megapixel and HDR/EXR images
-      (round 5) ride the HBM windowed gather up to _BIG_MAX_TEXELS per
-      image / _BIG_MAX_TOTAL per scene (imageTexture.h:60-133,
-      HDRImage.h:45-70 load arbitrary sizes).
+    * procedural Perlin — diffuse/specular/bump decal modes (sphere bump
+      uses the local frame; MESH perlin bump still needs identity normal
+      matrices, since the kernel projects a world-space gradient against
+      its world normal while shading.py works in object space);
+    * image — diffuse/specular/replace_all/replace_background/normal-map/
+      image-bump decal modes, on meshes AND spheres (round 5).  Small LDR
+      images (<= _IMG_MAX_TEXELS texels, integer 0..255) ride the VMEM
+      row-masked gather; megapixel and HDR/EXR images (round 5) ride the
+      HBM windowed gather up to _BIG_MAX_TEXELS per image /
+      _BIG_MAX_TOTAL per scene (imageTexture.h:60-133, HDRImage.h:45-70
+      load arbitrary sizes).  Normal/bump maps work on ANY transform
+      (object-space TBN + per-entity M^-T columns, round 5).
 
     Common gates: no custom BRDFs (the kernel's BRDF branch bakes kd
     statically), no motion (the hit point used for world-space Perlin
-    sampling would live in shifted-ray space), no sphere textures; entities
-    with normal-map / replace_all / bump slots must have identity normal
-    matrices, since the kernel's TBN columns live in world space while the
-    reference maps normals in object space (mesh.cpp:264-357)."""
+    sampling would live in shifted-ray space)."""
     # 8 textures max: the kernel unrolls per texture, and the shared
     # total_texels budget below bounds VMEM regardless of count
     if pack is None or static.n_textures > 8 or static.has_motion:
@@ -372,15 +371,10 @@ def _textures_eligible(static, pack) -> bool:
             total_big += w * h
     if total_texels > 2 * _IMG_MAX_TEXELS or total_big > _BIG_MAX_TOTAL:
         return False
-    if static.n_spheres:
-        # spheres: diffuse/specular/replace_all decals supported in-kernel
-        # (spherical UV from the local hit, sphere.cpp:138-167); bump maps
-        # (sphere.cpp:116-137 tangent machinery) stay wavefront-only, and
-        # sphere normal-map slots are a no-op in the reference
-        # (sphere.cpp:95-115 commented out) and in shading.py
-        stx = np.asarray(pack.sph_tex)
-        if (stx[:, SLOT_BUMP] >= 0).any():
-            return False
+    # spheres: diffuse/specular/replace_all decals AND bump maps run
+    # in-kernel since round 5 (spherical UV + analytic tangents from the
+    # local hit, sphere.cpp:116-169); sphere normal-map slots are a no-op
+    # in the reference (sphere.cpp:95-115 commented out) and in shading.py
     et = np.asarray(pack.ent_tex)
     # PERLIN-bump entities still need the world==object identity (the
     # kernel projects a world-space gradient against its world normal,
@@ -702,7 +696,10 @@ def build_mega(pack, opts, host_rng: bool = False):
                 SLOT_REPLACE_ALL as _SR2,
                 SLOT_SPECULAR as _SS2,
             )
-            sph_col = {19: _SD2, 20: _SS2, 21: _SB2, 22: _SR2}.get(col)
+            # sphere BUMP ids are intentionally absent (col 21): the bump
+            # applies inside the trace's sphere loop with static dispatch,
+            # not through the body's tb_f-masked mesh loops
+            sph_col = {19: _SD2, 20: _SS2, 22: _SR2}.get(col)
             if sph_col is not None and len(sph_tex_np):
                 ids |= set(sph_tex_np[:, sph_col].astype(np.float64))
             return tuple(sorted(
@@ -881,9 +878,14 @@ def build_mega(pack, opts, host_rng: bool = False):
         big_textures=big_tex,
         env_big=env_big,
         bg_tex=int(getattr(st, "bg_tex", -1)) if has_tex else -1,
+        # per sphere: (diffuse, specular, replace_all, bump slots,
+        # bump-texture normalizer — the sphere grey path divides by it,
+        # sphere.cpp:138-167)
         sph_tex=tuple(
             (int(sph_tex_np[i, 0]), int(sph_tex_np[i, 1]),
-             int(sph_tex_np[i, 4]))
+             int(sph_tex_np[i, 4]), int(sph_tex_np[i, 3]),
+             float(np.asarray(pack.tex_normalizer)[
+                 max(int(sph_tex_np[i, 3]), 0)]))
             for i in range(st.n_spheres)) if has_tex else (),
     )
     img_out = jnp.asarray(img_tab)
@@ -1271,7 +1273,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
     # ---- inverse-trig polynomials (shared by the env light's lat-long
     # lookup and round-5 sphere-texture UVs; Mosaic lowers no inverse-trig
     # primitive, so these are plain VPU polynomials) ----
-    _sph_tex_any = any(s >= 0 for t in mc.sph_tex for s in t)
+    _sph_tex_any = any(s >= 0 for t in mc.sph_tex for s in t[:4])
     if mc.env or _sph_tex_any:
         _PI = float(np.pi)
 
@@ -1589,6 +1591,100 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         for si, s in enumerate(mc.spheres):
             t, valid, nwx, nwy, nwz, prx, pry, prz = sphere_hit(
                 s, px, py, pz, vx, vy, vz)
+            s_slots = (mc.sph_tex[si] if mc.sph_tex
+                       else (-1, -1, -1, -1, 255.0))
+            if any(x >= 0 for x in s_slots[:4]):
+                # spherical UV from the local hit (sphere.cpp:138-167;
+                # surface_at: phi = atan2(z, x), theta = acos(clip(
+                # y/r, ±0.999999)), u = (-phi+pi)/2pi, v = theta/pi)
+                phi_s = atan2_k(prz, prx)
+                th_s = acos_k(jnp.clip(pry / s[3], -0.999999, 0.999999))
+                u_sph = (-phi_s + _PI) / (2.0 * _PI)
+                v_sph = th_s / _PI
+            else:
+                u_sph = v_sph = 0.0
+            bti = int(s_slots[3])
+            if bti >= 0:
+                # sphere BUMP at intersect time, in OBJECT space, exactly
+                # like Sphere::Intersect (sphere.cpp:116-169) as
+                # implemented by shading.py's sphere path: analytic
+                # tangents from the local frame, n_base = cross(bitan,
+                # tan), then M^-T to world
+                twopi = 2.0 * _PI
+                tnx_, tny_, tnz_ = norm3(twopi * prz, ZERO, -twopi * prx)
+                cph = jnp.cos(phi_s)
+                sph_ = jnp.sin(phi_s)
+                sth = jnp.sin(th_s)
+                bx_, by_, bz_ = norm3(_PI * pry * cph,
+                                      -float(s[3]) * _PI * sth,
+                                      _PI * pry * sph_)
+                nbx, nby, nbz = norm3(by_ * tnz_ - bz_ * tny_,
+                                      bz_ * tnx_ - bx_ * tnz_,
+                                      bx_ * tny_ - by_ * tnx_)
+                is_img_b = bool(
+                    (mc.image_textures and mc.image_textures[bti])
+                    or (mc.big_textures and mc.big_textures[bti]))
+                if not is_img_b:
+                    # perlin bump: local-frame gradient, NO bumpFactor
+                    # (sphere.cpp:123-137; shading.py scale=1 for spheres)
+                    nsc, cv, _bl, _bf = mc.perlin_textures[bti]
+                    beps = 1e-3
+                    h0 = perlin_unit(prx, pry, prz, nsc, cv)
+                    gx_ = (perlin_unit(prx + beps, pry, prz, nsc, cv)
+                           - h0) / beps
+                    gy_ = (perlin_unit(prx, pry + beps, prz, nsc, cv)
+                           - h0) / beps
+                    gz_ = (perlin_unit(prx, pry, prz + beps, nsc, cv)
+                           - h0) / beps
+                    gpar = gx_ * nbx + gy_ * nby + gz_ * nbz
+                    obx, oby, obz = norm3(nbx - (gx_ - gpar * nbx),
+                                          nby - (gy_ - gpar * nby),
+                                          nbz - (gz_ - gpar * nbz))
+                else:
+                    # image bump: sphere taps scale by w (not w-1) and the
+                    # grey divides by the texture NORMALIZER, not 3
+                    # (sphere.cpp:138-167; shading.py grey())
+                    meta_sb = (mc.big_textures[bti]
+                               if (mc.big_textures and mc.big_textures[bti])
+                               else mc.image_textures[bti])
+                    iwd, ihd, bf = meta_sb[2], meta_sb[3], meta_sb[6]
+                    rescale = 3.0 / float(s_slots[4])
+                    iw_ = jnp.clip((u_sph * float(iwd)).astype(jnp.int32),
+                                   0, iwd - 1)
+                    jh_ = jnp.clip((v_sph * float(ihd)).astype(jnp.int32),
+                                   0, ihd - 1)
+                    i1 = jnp.minimum(iw_ + 1, iwd - 1)
+                    j1 = jnp.minimum(jh_ + 1, ihd - 1)
+                    if mc.big_textures and mc.big_textures[bti]:
+                        h_uv, h_du, h_dv = big_img_grey3(
+                            bti, [(iw_, jh_), (i1, jh_), (iw_, j1)],
+                            valid)
+                    else:
+                        h_uv = img_grey_at(bti, iw_, jh_)
+                        h_du = img_grey_at(bti, i1, jh_)
+                        h_dv = img_grey_at(bti, iw_, j1)
+                    h_uv = h_uv * rescale
+                    h_du = h_du * rescale
+                    h_dv = h_dv * rescale
+                    qux = tnx_ + nbx * ((h_du - h_uv) * bf)
+                    quy = tny_ + nby * ((h_du - h_uv) * bf)
+                    quz = tnz_ + nbz * ((h_du - h_uv) * bf)
+                    qvx = bx_ + nbx * ((h_dv - h_uv) * bf)
+                    qvy = by_ + nby * ((h_dv - h_uv) * bf)
+                    qvz = bz_ + nbz * ((h_dv - h_uv) * bf)
+                    obx, oby, obz = norm3(qvy * quz - qvz * quy,
+                                          qvz * qux - qvx * quz,
+                                          qvx * quy - qvy * qux)
+                    # flip1 only: flip2 is mesh-only (shading.py:237)
+                    flip1 = ((obx * nbx <= 0) & (oby * nby <= 0)
+                             & (obz * nbz <= 0))
+                    obx = jnp.where(flip1, -obx, obx)
+                    oby = jnp.where(flip1, -oby, oby)
+                    obz = jnp.where(flip1, -obz, obz)
+                nm_ = s[1]
+                nwx = nm_[0] * obx + nm_[1] * oby + nm_[2] * obz
+                nwy = nm_[3] * obx + nm_[4] * oby + nm_[5] * obz
+                nwz = nm_[6] * obx + nm_[7] * oby + nm_[8] * obz
             better = valid & (t < t_b) & active
             t_b = jnp.where(better, t, t_b)
             nx = jnp.where(better, nwx, nx)
@@ -1596,28 +1692,17 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             nz = jnp.where(better, nwz, nz)
             mf = jnp.where(better, float(s[4]), mf)
             ml = jnp.where(better, -1.0, ml)
-            s_slots = (mc.sph_tex[si] if mc.sph_tex else (-1, -1, -1))
             if per:
                 # round 5: the winning sphere's static texture slots
-                # (diffuse, specular, [ra]; bump/nm stay -1 — bump spheres
-                # are ineligible and the reference's sphere normal-map
-                # path is disabled, sphere.cpp:95-115)
+                # (diffuse, specular, [ra]; the trace's bump already
+                # applied above, and the reference's sphere normal-map
+                # path is disabled, sphere.cpp:95-115 — both stay -1)
                 vals = (float(s_slots[0]), float(s_slots[1]), -1.0,
                         float(s_slots[2]), -1.0)[:n_slots]
                 tslots = tuple(
                     jnp.where(better, v_, s_)
                     for v_, s_ in zip(vals, tslots))
             if needs_uv:
-                if any(x >= 0 for x in s_slots):
-                    # spherical UV from the local hit (sphere.cpp:138-167;
-                    # surface_at: phi = atan2(z, x), theta = acos(clip(
-                    # y/r, ±0.999999)), u = (-phi+pi)/2pi, v = theta/pi)
-                    phi_s = atan2_k(prz, prx)
-                    th_s = acos_k(jnp.clip(pry / s[3], -0.999999, 0.999999))
-                    u_sph = (-phi_s + _PI) / (2.0 * _PI)
-                    v_sph = th_s / _PI
-                else:
-                    u_sph = v_sph = 0.0
                 uv = (jnp.where(better, u_sph, uv[0]),
                       jnp.where(better, v_sph, uv[1]))
         hit = t_b < (BIG * 0.5)

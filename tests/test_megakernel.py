@@ -538,16 +538,15 @@ def test_megakernel_perlin_eligibility(tmp_path):
     pack = pack_scene(cfg)
     assert _me(pack.static, options_for_camera(cfg, cfg.cameras[0]), pack)
 
-    # BUMP-textured sphere -> still fallback (sphere tangent machinery,
-    # sphere.cpp:116-137)
+    # BUMP-textured sphere routes in-kernel too since late round 5
+    # (analytic tangents at intersect time, sphere.cpp:116-137)
     bump_xml = sphere_xml.replace(
         "<Sphere id=\"1\"><Material>2</Material><Textures>2</Textures>",
         "<Sphere id=\"1\"><Material>2</Material><Textures>3</Textures>")
     p.write_text(bump_xml)
     cfg = load_scene(str(p))
     pack = pack_scene(cfg)
-    assert not _me(pack.static, options_for_camera(cfg, cfg.cameras[0]),
-                   pack)
+    assert _me(pack.static, options_for_camera(cfg, cfg.cameras[0]), pack)
 
     # transformed bump mesh -> fallback (kernel bump needs identity normals)
     rot_xml = PERLIN_SCENE.replace(
@@ -1384,6 +1383,7 @@ SPHERE_TEX_SCENE = """<Scene>
     ("replace_kd", "nearest", "1 2"),
     ("blend_kd", "bilinear", "1"),
     ("replace_all", "bilinear", "1"),
+    ("bump_normal", "nearest", "1"),  # round 5: image bump on spheres
 ])
 def test_megakernel_sphere_textures(tmp_path, decal, interp, tex):
     """Round 5: sphere textures in-kernel — spherical UV from the local
@@ -1553,3 +1553,44 @@ def test_megakernel_streamed_meshlight(tmp_path, monkeypatch):
         mc_s, tab_s, ctab_s, o, d, interpret=True, seed=0,
         rng_key=jax.random.PRNGKey(3), img_tab=img_s))
     np.testing.assert_allclose(l_str, l_res, rtol=1e-6, atol=1e-5)
+
+
+def test_megakernel_sphere_perlin_bump(tmp_path):
+    """Round 5: PERLIN bump on spheres in-kernel — local-frame gradient
+    against the analytic tangent basis (sphere.cpp:116-137), no
+    bumpFactor, M^-T back to world; kernel == wavefront."""
+    from advanced_cpu_raytracing_tpu.ops.pallas.megakernel import (
+        build_mega as _bm,
+        mega_eligible as _me,
+        mega_trace as _mt,
+    )
+    from advanced_cpu_raytracing_tpu.render.renderer import options_for_camera
+
+    img = tmp_path / "stex.png"
+    _write_test_png(img, 16, 16, 9)
+    xml = SPHERE_TEX_SCENE.format(img=img, decal="replace_kd",
+                                  interp="nearest", tex="1 2")
+    xml = xml.replace(
+        "<DecalMode>replace_ks</DecalMode>",
+        "<DecalMode>bump_normal</DecalMode>")
+    p = tmp_path / "sphperlinbump.xml"
+    p.write_text(xml)
+    cfg = load_scene(str(p))
+    pack = pack_scene(cfg)
+    opts = options_for_camera(cfg, cfg.cameras[0])
+    assert _me(pack.static, opts, pack)
+    mc, tab, ctab, img_tab = _bm(pack, opts)
+    assert mc.sph_tex[0][3] >= 0  # the sphere's bump slot
+    cam = build_camera(cfg.cameras[0])
+    rng = np.random.default_rng(4)
+    n = 2048
+    px = jnp.asarray(rng.uniform(0, 320, n).astype(np.float32))
+    py = jnp.asarray(rng.uniform(0, 240, n).astype(np.float32))
+    o, d = cam_mod.generate_rays(cam, px, py, jnp.zeros((n, 2)), dof=False)
+    l_mega = np.asarray(_mt(mc, tab, ctab, o, d, interpret=True,
+                            img_tab=img_tab))
+    l_jnp = np.asarray(trace_radiance(pack, cam, px, py,
+                                      jax.random.PRNGKey(0), opts))
+    diff = np.abs(l_mega - l_jnp)
+    assert np.mean(diff) < 0.05, np.mean(diff)
+    assert np.quantile(diff, 0.99) < 1.0, np.quantile(diff, 0.99)

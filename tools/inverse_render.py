@@ -19,7 +19,12 @@ the multi_transform note below).
 
 Run alone on the TPU (one process at a time):
     python tools/inverse_render.py [--steps N] [--spp S] [--res W]
-        [--scene {gauge,conductors}]
+        [--scene {gauge,conductors}] [--texture]
+
+``--texture`` (round 5) switches to INVERSE TEXTURE RECOVERY: a 64x64
+bilinear replace_kd texture is recovered from renders through the fused
+kernel's texel-cotangent streams, starting from flat grey + noise
+(measured 4.8% max-rel / 58.7 dB at 300 steps — BASELINE.md).
 Prints per-step losses and a summary line; writes the convergence record
 to tools/artifacts/inverse_render.json.
 """
