@@ -25,10 +25,24 @@ if os.environ.get("ACRT_TPU_TESTS"):
 else:
     jax.config.update("jax_platforms", "cpu")
 
+import gc
 import pathlib
 
 import numpy as np
 import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """XLA's CPU backend segfaults inside backend_compile after enough
+    large compilations accumulate in one process (reproduced twice in the
+    round-5 full suite around the 150th test, each kernel fine in
+    isolation).  Dropping compiled executables between test modules keeps
+    the live-compilation footprint bounded; device arrays (session-scoped
+    scene fixtures) are unaffected."""
+    yield
+    jax.clear_caches()
+    gc.collect()
 
 REFERENCE = pathlib.Path("/root/reference")
 HW1_INPUTS = REFERENCE / "archive" / "hw1_inputs"
