@@ -34,27 +34,39 @@ runs the fused kernel + epilogue.  Parameters enter as TRACED tables (the
 megakernel bakes them as constants — fine for rendering, a recompile per
 optimizer step for training), so optimization loops reuse one executable.
 
-Eligibility (``bwd_eligible``): Whitted only (no PT), mirror/conductor
-chains, dielectric chains (stochastic single-path, below), point /
-directional / spot / area lights + ambient, emissive-material hits; no
-textures / env / mesh lights / motion / roughness / custom BRDFs; the same
-VMEM face budget as the megakernel, table rows <= _BWD_MAX_ROWS so the
-epilogue one-hot stays small.  Everything else falls back to the jnp
-wavefront.  Reference behavior covered: raytracer.cpp:65-134 (PerformShading
-dispatch), 81-84 (emissive hit), 208-254 (conductor Fresnel), 261-415
-(dielectric Fresnel + Beer), 442-472 (mirror), 540-554
-(GetDiffuse/GetSpecular), 701-806 (direct lighting incl. spot
-spotLight.h:33-57 and area areaLight.h:34-41), 567-583 (IsInShadow).
+Eligibility (``bwd_eligible``): Whitted AND path tracing (any material
+mix — round 5's stochastic single-child estimator handles PT + specular,
+and Russian roulette unrolls to the measured 17-segment maximum),
+mirror/conductor chains, dielectric chains (stochastic single-path,
+below), point / directional / spot / area / mesh lights + ambient,
+emissive-material hits, and diffuse image textures as DIFFERENTIABLE
+LEAVES (round 5: the texel table is a traced input; per-tap cotangents
+stream back keyed by global texel index and reduce on the MXU, enabling
+inverse TEXTURE recovery — tools/inverse_render.py --texture).  Still
+wavefront-only: specular-slot textures, perlin/normal/bump gradients,
+env lights, motion, roughness, custom BRDFs; the same VMEM face budget
+as the megakernel, table rows <= _BWD_MAX_ROWS so the epilogue one-hot
+stays small.  Reference behavior covered: raytracer.cpp:65-134
+(PerformShading dispatch), 81-84 (emissive hit), 135-191 (GI bounce +
+NEE suppression + RR), 208-254 (conductor Fresnel), 261-415 (dielectric
+Fresnel + Beer), 442-472 (mirror), 478-508 (texture-modulated kd),
+540-554 (GetDiffuse/GetSpecular), 701-806 (direct lighting incl. spot
+spotLight.h:33-57, area areaLight.h:34-41 and mesh meshLight.h:27-50),
+567-583 (IsInShadow).
 
 Stochastic choices stay a LINEAR chain: dielectric hits sample ONE child
 (reflect with probability r_refl, else refract — the Fresnel weight cancels
-against the selection probability, integrator.py stochastic_dielectric), so
-the unrolled-segment structure survives and iterations stay O(depth), not
-O(2^depth).  Area-light sample offsets and the dielectric branch uniforms
-are INPUTS produced by ``wavefront_rng`` — which replays trace_radiance's
-exact key-split schedule — so kernel and jnp-wavefront oracle make
-identical per-lane stochastic decisions and gradients match lane-for-lane
-(tests/test_megabwd.py).  Beer's law ``exp(-c*t)`` runs inside the
+against the selection probability, integrator.py stochastic_dielectric),
+and a PT hit that also spawns a specular child picks ONE with a replayed
+fair coin and doubles its weight (integrator.py stochastic_spec_gi,
+round 5), so the unrolled-segment structure survives and iterations stay
+O(depth), not O(2^depth).  Area-light offsets, mesh-light picks,
+dielectric branch uniforms, GI directions, RR kill draws and the
+spec-vs-GI coins are INPUTS produced by ``wavefront_rng`` — which replays
+trace_radiance's exact key-split schedule — so kernel and jnp-wavefront
+oracle make identical per-lane stochastic decisions and gradients match
+lane-for-lane (tests/test_megabwd.py; asserted on hardware by the
+`pytest -m tpu` tier).  Beer's law ``exp(-c*t)`` runs inside the
 differentiable step (t is differentiable; the absorption constant and
 medium tracking are stop-grad facts from the forward sweep).
 """
@@ -1781,10 +1793,12 @@ def make_diff_render(pack, opts, interpret: bool = False):
     """Differentiable fused render: returns ``f(params, o, d) -> (R,3)``.
 
     ``params`` is a dict with any subset of {mat_ambient, mat_diffuse,
-    mat_specular, mat_mirror, mat_phong, pl_intensity, dl_radiance,
-    bg_color, verts}; missing keys come from ``pack``.  Forward runs the
-    fwd-only kernel; jax.grad / value_and_grad route through the fused
-    fwd+bwd kernel + one-hot epilogue.  Gradient semantics match
+    mat_specular, mat_mirror, mat_phong, mat_radiance, pl_intensity,
+    dl_radiance, sl_intensity, al_radiance, ml_radiance, bg_color, verts,
+    img_atlas (round 5 — diffuse-texture texels)}; missing keys come from
+    ``pack``.  Forward runs the fwd-only kernel; jax.grad /
+    value_and_grad route through the fused fwd+bwd kernel + one-hot
+    epilogue.  Gradient semantics match
     trace_radiance(differentiable=True) — see module docstring."""
     st = pack.static
     bc_f = build_bwd_consts(pack, opts, with_bwd=False)
