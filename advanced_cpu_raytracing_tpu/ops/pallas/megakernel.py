@@ -206,10 +206,11 @@ class MegaConsts:
     # sampled at (px/width, py/height) on primary miss — the kernel gets
     # two pixel-uv input planes beside o/d
     bg_tex: int = -1
-    # sphere textures (round 5, sphere.cpp:116-169): per sphere, its
-    # (diffuse, specular, replace_all) texture slots (-1 = none); the
-    # trace computes spherical UV from the local hit point with the
-    # in-kernel atan2/acos polynomials
+    # sphere textures (round 5, sphere.cpp:116-169): per sphere,
+    # (diffuse, specular, replace_all, bump slots, bump normalizer);
+    # the trace computes spherical UV from the local hit point with the
+    # in-kernel atan2/acos polynomials, and BUMP applies at intersect
+    # time in object space (analytic tangents, M^-T back to world)
     sph_tex: tuple = ()
 
 
