@@ -97,6 +97,12 @@ _VMEM_MAX_FACES = 98304
 # (measured 0.20 -> see BASELINE.md).  Culling granularity coarsens
 # correspondingly; BVH-ordered faces keep chunks spatially coherent.
 STREAM_CHUNK = 2048
+# fine-cull granularity inside a streamed super-chunk: smaller boxes cull
+# sweeps tighter at the cost of more slab tests within surviving supers
+# (fine tests only run where the super's coarse box passed).  Swept on
+# hardware over {128, 64, 32, 16, 8} on the 524k-face textured terrain:
+# 1.01 / 0.76 / 0.67 / 0.62 / 0.72 s — 16 is the knee (BASELINE.md)
+STREAM_FINE = 16
 
 
 def _perm512_table() -> np.ndarray:
@@ -522,10 +528,11 @@ def build_mega(pack, opts, host_rng: bool = False):
                     .reshape(w, 9)
 
     stream_geo = w > _VMEM_MAX_FACES
-    n_chunks = max((w + CHUNK - 1) // CHUNK, 1)
+    fgran = STREAM_FINE if stream_geo else CHUNK
+    n_chunks = max((w + fgran - 1) // fgran, 1)
     ctab = np.zeros((n_chunks, 8), np.float32)
     for ci in range(n_chunks):
-        lo, hi = ci * CHUNK, min((ci + 1) * CHUNK, max(w, 1))
+        lo, hi = ci * fgran, min((ci + 1) * fgran, max(w, 1))
         vs = tab[lo:hi, 0:9].reshape(-1, 3)
         if len(vs):
             ctab[ci, 0:3] = vs.min(axis=0)
@@ -825,7 +832,7 @@ def build_mega(pack, opts, host_rng: bool = False):
         pad_rows = (-tab.shape[0]) % STREAM_CHUNK
         pad_cols = LANES - n_cols
         tab = np.pad(tab, ((0, pad_rows), (0, pad_cols)))
-        r_sc = STREAM_CHUNK // CHUNK
+        r_sc = STREAM_CHUNK // STREAM_FINE
         n_sc = -(-n_chunks // r_sc)
         coarse = np.zeros((n_sc, 8), np.float32)
         for si in range(n_sc):
@@ -1441,7 +1448,8 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
         nwz = nm[6] * prx + nm[7] * pry + nm[8] * prz
         return t, valid, nwx, nwy, nwz, prx, pry, prz
 
-    n_chunks = (mc.n_tri + CHUNK - 1) // CHUNK
+    FG = STREAM_FINE if mc.stream_geo else CHUNK
+    n_chunks = (mc.n_tri + FG - 1) // FG
 
     def chunk_sweep(px, py, pz, vx, vy, vz, body, init, live_of):
         """Iterate triangles in CHUNK-sized spatially-coherent groups,
@@ -1481,7 +1489,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
             # produced stale scratch reads in both the interpreter's state
             # discharge AND compiled Mosaic — measured wrong images,
             # reverted.
-            R_ = STREAM_CHUNK // CHUNK
+            R_ = STREAM_CHUNK // FG
 
             def sc_body(sci, carry):
                 t_b = live_of(carry)
@@ -1507,7 +1515,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tri_ref,
                         c = jax.lax.cond(
                             preds[j],
                             lambda cc, j=j: jax.lax.fori_loop(
-                                j * CHUNK, (j + 1) * CHUNK, body, cc),
+                                j * FG, (j + 1) * FG, body, cc),
                             lambda cc: cc, c)
                     _geo["ref"] = tri_ref
                     return c
